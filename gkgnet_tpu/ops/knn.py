@@ -1,0 +1,172 @@
+"""Dynamic k-NN graph construction — jnp reference implementations.
+
+Behavioral contract follows the reference graph core
+(`/root/reference/mmcls/models/backbones/vig_model/torch_edge.py`):
+
+  * features are L2-normalized along the channel dim before the distance
+    (torch_edge.py:166-175),
+  * squared-euclidean distance ``|x|^2 - 2 x.y + |y|^2`` accumulated in fp32
+    with gradients stopped (graph build is non-differentiable on the live
+    path, torch_edge.py:9-51),
+  * optional additive bias (the negated relative-position table) added to the
+    distance before top-k (torch_edge.py:74-82),
+  * neighbors = top-k of the *negated* distance (torch_edge.py:76,83,104),
+  * dilation takes every d-th neighbor of the k*d candidates; stochastic mode
+    instead takes a random subset with probability eps at train time
+    (torch_edge.py:126-149).
+
+TPU-first design notes:
+  * node tensors are channel-last ``(B, N, C)`` so the distance is a single
+    large MXU matmul; fp32 ``preferred_element_type`` keeps accuracy with
+    bf16 inputs.
+  * the query axis can be tiled (``query_chunk``) with a sequential
+    ``lax.map`` so the full ``(B, N, M)`` distance matrix never materializes
+    (replaces the reference's ``n_part=10000`` host loop,
+    torch_edge.py:65-78) — same results, bounded HBM.
+  * a fused Pallas distance+top-k kernel (gkgnet_tpu/ops/pallas/knn_topk.py)
+    is used on TPU when ``use_pallas`` is enabled; this module is the
+    numerics contract it must meet.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
+    """L2-normalize along ``axis`` (torch ``F.normalize(p=2)`` semantics:
+    divide by ``max(||x||, eps)``)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+def pairwise_sqdist(x: Array, y: Array) -> Array:
+    """Squared euclidean distances between two node sets.
+
+    Args:
+      x: queries ``(B, N, C)``.
+      y: targets ``(B, M, C)``.
+    Returns:
+      ``(B, N, M)`` fp32 distances (gradients stopped).
+    """
+    x = jax.lax.stop_gradient(x).astype(jnp.float32)
+    y = jax.lax.stop_gradient(y).astype(jnp.float32)
+    inner = jax.lax.dot_general(
+        x, y,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, N, M)
+    x_sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)        # (B, N, 1)
+    y_sq = jnp.sum(jnp.square(y), axis=-1, keepdims=True)        # (B, M, 1)
+    return x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2)
+
+
+def _topk_neighbors(dist: Array, k: int) -> Array:
+    """Indices of the k smallest distances along the last axis."""
+    _, idx = jax.lax.top_k(-dist, k)
+    return idx.astype(jnp.int32)
+
+
+def knn_graph(
+    x: Array,
+    y: Array | None = None,
+    *,
+    k: int,
+    bias: Array | None = None,
+    normalize: bool = True,
+    query_chunk: int | None = None,
+) -> Array:
+    """Build a dense k-NN edge set: for every query node the indices of its
+    ``k`` nearest target nodes.
+
+    Args:
+      x: query nodes ``(B, N, C)``.
+      y: target nodes ``(B, M, C)``; ``None`` for self-kNN (y = x).
+      k: neighbors per query (the reference passes ``k * dilation`` here).
+      bias: optional additive distance bias ``(N, M)`` or ``(B, N, M)``
+        (the negated relative-position table).
+      normalize: L2-normalize features first (live-path behavior).
+      query_chunk: if set and it divides N, tile the query axis in chunks of
+        this size (sequential scan) to bound memory.
+
+    Returns:
+      neighbor indices ``(B, N, k) int32`` into the target set.
+    """
+    if normalize:
+        x = l2_normalize(x)
+        y = l2_normalize(y) if y is not None else None
+    if y is None:
+        y = x
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
+
+    n = x.shape[1]
+    if bias is not None and bias.ndim == 2:
+        bias = bias[None]
+
+    if query_chunk is None or n % query_chunk != 0 or n == query_chunk:
+        dist = pairwise_sqdist(x, y)
+        if bias is not None:
+            dist = dist + bias
+        return _topk_neighbors(dist, k)
+
+    num_chunks = n // query_chunk
+    xc = x.reshape(x.shape[0], num_chunks, query_chunk, x.shape[2])
+    xc = jnp.swapaxes(xc, 0, 1)  # (num_chunks, B, chunk, C)
+    if bias is not None:
+        bc = bias.reshape(bias.shape[0], num_chunks, query_chunk, bias.shape[2])
+        bc = jnp.swapaxes(bc, 0, 1)  # (num_chunks, Bb, chunk, M)
+
+        def step(args):
+            xi, bi = args
+            return _topk_neighbors(pairwise_sqdist(xi, y) + bi, k)
+
+        idx = jax.lax.map(step, (xc, bc))
+    else:
+        idx = jax.lax.map(lambda xi: _topk_neighbors(pairwise_sqdist(xi, y), k), xc)
+    idx = jnp.swapaxes(idx, 0, 1)  # (B, num_chunks, chunk, k)
+    return idx.reshape(x.shape[0], n, k)
+
+
+def dilate_edges(
+    idx: Array,
+    *,
+    dilation: int,
+    stochastic: bool = False,
+    epsilon: float = 0.0,
+    rng: Array | None = None,
+    training: bool = False,
+) -> Array:
+    """Subsample ``k*d`` neighbor candidates down to ``k``.
+
+    Deterministic mode takes every d-th candidate (``[:, :, ::d]``,
+    torch_edge.py:146-148). Stochastic mode: with probability ``epsilon``
+    (one draw for the whole call, matching ``torch.rand(1) < eps``,
+    torch_edge.py:140-145) take a random permutation's first k instead —
+    train-time only.
+    """
+    if dilation <= 1 and not (stochastic and training):
+        return idx
+    kd = idx.shape[-1]
+    k = kd // max(dilation, 1)
+    strided = idx[..., ::dilation]
+    if not (stochastic and training and epsilon > 0.0):
+        return strided
+    if rng is None:
+        raise ValueError("stochastic dilation at train time requires an rng key")
+    rng_gate, rng_perm = jax.random.split(rng)
+    use_random = jax.random.uniform(rng_gate, ()) < epsilon
+    randsel = jax.random.permutation(rng_perm, kd)[:k]
+    return jnp.where(use_random, idx[..., randsel], strided)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_graph_jit(x: Array, y: Array, *, k: int) -> Array:
+    """Convenience jitted self/cross kNN used by tests and benchmarks."""
+    return knn_graph(x, y, k=k)
