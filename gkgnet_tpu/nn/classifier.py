@@ -1,0 +1,72 @@
+"""Top-level image classifier: backbone + head (reference
+classifiers/image.py + classifiers/base.py dispatch, functionalized).
+
+The module computes logits; train/eval drivers call ``loss_fn`` /
+``predict_fn`` below (the reference's forward_train/simple_test split).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gkgnet_tpu.nn.gkgnet import GKGNet
+from gkgnet_tpu.nn.heads import LabelQueryHead
+
+Array = jax.Array
+
+
+class GKGNetClassifier(nn.Module):
+    """GKGNet backbone + LabelQueryHead.
+
+    ``__call__`` returns ``(cls_score (B, n_classes), edge_index)`` — the
+    edge indices of the last label GCN are surfaced for visualization
+    (reference keeps them in the backbone output tuple, gkgnet.py:279).
+    """
+
+    arch: str = "s"
+    k: int = 9
+    k_label_gcn: int = 9
+    num_group: int = 2
+    drop_path: float = 0.0
+    n_classes: int = 80
+    size: int = 576
+    num_gcn: int = 1
+    dtype: Any = jnp.float32
+    head_kwargs: dict | None = None
+
+    def setup(self):
+        in_channels = {"t": 384, "s": 640}[self.arch]
+        self.backbone = GKGNet(
+            arch=self.arch, k=self.k, k_label_gcn=self.k_label_gcn,
+            num_group=self.num_group, drop_path=self.drop_path,
+            n_classes=self.n_classes, size=self.size, num_gcn=self.num_gcn,
+            dtype=self.dtype,
+        )
+        self.head = LabelQueryHead(
+            num_classes=self.n_classes, in_channels=in_channels,
+            dtype=self.dtype, **(self.head_kwargs or {}),
+        )
+
+    def __call__(self, imgs: Array, train: bool = False):
+        label_emb, gap, edge_index = self.backbone(imgs, train)
+        cls_score = self.head(label_emb, gap)
+        return cls_score, edge_index
+
+    def loss(self, cls_score: Array, gt_label: Array) -> dict:
+        return self.head.loss(cls_score, gt_label)
+
+    def predict(self, cls_score: Array) -> Array:
+        return self.head.simple_test(cls_score)
+
+
+def parse_losses(losses: dict) -> tuple[Array, dict]:
+    """Total loss = sum of every value whose key contains 'loss'
+    (classifiers/base.py:96-111)."""
+    log_vars = {k: jnp.mean(v) for k, v in losses.items()}
+    total = sum(v for k, v in log_vars.items() if "loss" in k)
+    log_vars["loss"] = total
+    return total, log_vars

@@ -1,0 +1,157 @@
+"""Loss functions (pure jnp, fp32 islands).
+
+Reference semantics:
+  * ``asymmetric_loss`` — ASL (arXiv 2009.14119), mmcls
+    losses/asymmetric_loss.py:9-71. Live config: gamma_pos=0, gamma_neg=2,
+    clip=0.05, eps=1e-8 (configs/gkgnet/gkgnet_coco_576.py:32-36).
+  * ``label_smooth_multilabel_loss`` — LabelSmoothLoss(mode='multi_label'):
+    targets smoothed to {eps, 1-eps}, sigmoid BCE
+    (losses/label_smooth_loss.py:122-126), reduced with
+    ``avg_factor=batch`` (label_query_head.py:78).
+  * ``weight_reduce_loss`` — mmcls reduction: 'mean' with avg_factor =>
+    sum/avg_factor.
+
+All losses compute in float32 regardless of input dtype (the fp16/bf16
+clamp+log behavior of ASL needs fp32, SURVEY hard-part #5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def weight_reduce_loss(
+    loss: Array,
+    weight: Array | None = None,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    if weight is not None:
+        loss = loss * weight
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "mean":
+        if avg_factor is None:
+            return jnp.mean(loss)
+        return jnp.sum(loss) / avg_factor
+    raise ValueError(f"invalid reduction {reduction}")
+
+
+def asymmetric_loss(
+    pred: Array,
+    target: Array,
+    weight: Array | None = None,
+    gamma_pos: float = 0.0,
+    gamma_neg: float = 4.0,
+    clip: float = 0.05,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+    use_sigmoid: bool = True,
+    eps: float = 1e-8,
+) -> Array:
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if use_sigmoid:
+        p = jax.nn.sigmoid(pred)
+    else:
+        p = jax.nn.softmax(pred, axis=-1)
+    if clip and clip > 0:
+        pt = jnp.minimum(1.0 - p + clip, 1.0) * (1.0 - target) + p * target
+    else:
+        pt = (1.0 - p) * (1.0 - target) + p * target
+    asym_weight = jnp.power(1.0 - pt, gamma_pos * target + gamma_neg * (1.0 - target))
+    loss = -jnp.log(jnp.maximum(pt, eps)) * asym_weight
+    if weight is not None and weight.ndim == 1 and pred.ndim > 1:
+        weight = weight.reshape(-1, 1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def binary_cross_entropy_with_logits(pred: Array, target: Array) -> Array:
+    """Elementwise, numerically-stable sigmoid BCE (fp32)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    return jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+def label_smooth_multilabel_loss(
+    pred: Array,
+    target: Array,
+    label_smooth_val: float = 0.1,
+    weight: Array | None = None,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    eps = label_smooth_val
+    smoothed = jnp.where(target > 0, 1.0 - eps, eps)
+    loss = binary_cross_entropy_with_logits(pred, smoothed)
+    if weight is not None and weight.ndim == 1 and pred.ndim > 1:
+        weight = weight.reshape(-1, 1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def soft_cross_entropy(
+    pred: Array,
+    soft_target: Array,
+    weight: Array | None = None,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    """-sum(target * log_softmax(pred)) per sample (mmcls soft CE)."""
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    loss = -jnp.sum(soft_target.astype(jnp.float32) * logp, axis=-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def cross_entropy(
+    pred: Array,
+    label: Array,
+    weight: Array | None = None,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    """Index-label CE."""
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    loss = -jnp.take_along_axis(logp, label[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def label_smooth_loss(
+    pred: Array,
+    target_onehot: Array,
+    label_smooth_val: float = 0.1,
+    mode: str = "classy_vision",
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    """Single-label smoothing ('original' / 'classy_vision' modes,
+    losses/label_smooth_loss.py:116-121)."""
+    eps = label_smooth_val
+    if mode == "classy_vision":
+        eps = label_smooth_val / (1.0 + label_smooth_val)
+    num_classes = pred.shape[-1]
+    smooth = target_onehot.astype(jnp.float32) * (1.0 - eps) + eps / num_classes
+    return soft_cross_entropy(pred, smooth, reduction=reduction, avg_factor=avg_factor)
+
+
+def focal_loss(
+    pred: Array,
+    target: Array,
+    weight: Array | None = None,
+    gamma: float = 2.0,
+    alpha: float = 0.25,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    """Sigmoid focal loss (mmcls losses/focal_loss.py semantics)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    p = jax.nn.sigmoid(pred)
+    pt = (1.0 - p) * target + p * (1.0 - target)
+    focal_weight = (alpha * target + (1.0 - alpha) * (1.0 - target)) * jnp.power(pt, gamma)
+    loss = binary_cross_entropy_with_logits(pred, target) * focal_weight
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)

@@ -14,3 +14,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment pins jax_platforms elsewhere (axon plugin); the config
+# update is authoritative and must happen before any backend is touched.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
