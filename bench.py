@@ -1,0 +1,68 @@
+"""Single-chip benchmark: GKGNet-S eval forward throughput at 576^2 (bf16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is the ratio against the value recorded in
+``bench_baseline.json`` (written on first run) — i.e. self-relative
+progress across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from gkgnet_tpu.nn.classifier import GKGNetClassifier
+
+    model = GKGNetClassifier(arch="s", n_classes=80, size=576,
+                             dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 576, 576, 3), jnp.bfloat16)
+    print(f"init on {jax.devices()[0]} ...", file=sys.stderr)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+
+    @jax.jit
+    def fwd(variables, x):
+        return model.apply(variables, x, train=False)[0]
+
+    print("compile ...", file=sys.stderr)
+    fwd(variables, x).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    print(f"{ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it)",
+          file=sys.stderr)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["value"]
+    else:
+        base = ips
+        with open(baseline_path, "w") as f:
+            json.dump({"metric": "images_per_sec_eval_576", "value": ips}, f)
+
+    print(json.dumps({
+        "metric": "images_per_sec_eval_576",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / base, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

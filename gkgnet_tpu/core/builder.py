@@ -1,0 +1,50 @@
+"""Config -> object builders (the registry layer of the reference,
+models/builder.py + datasets/builder.py, as plain dispatch)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gkgnet_tpu.data.coco import CocoMultiLabel
+from gkgnet_tpu.data.pipelines import build_pipeline
+from gkgnet_tpu.data.wrappers import (
+    ClassBalancedDataset,
+    ConcatDataset,
+    KFoldDataset,
+    RepeatDataset,
+)
+from gkgnet_tpu.nn.classifier import GKGNetClassifier
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+          "bf16": jnp.bfloat16, "fp32": jnp.float32}
+
+DATASETS = {"COCO": CocoMultiLabel}
+
+
+def build_dataset(cfg: dict):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    if t == "ClassBalancedDataset":
+        return ClassBalancedDataset(build_dataset(cfg["dataset"]),
+                                    cfg["oversample_thr"])
+    if t == "RepeatDataset":
+        return RepeatDataset(build_dataset(cfg["dataset"]), cfg["times"])
+    if t == "ConcatDataset":
+        return ConcatDataset([build_dataset(c) for c in cfg["datasets"]])
+    if t == "KFoldDataset":
+        ds = build_dataset(cfg.pop("dataset"))
+        return KFoldDataset(ds, **cfg)
+    if t in DATASETS:
+        pipeline = cfg.pop("pipeline", None)
+        if pipeline is not None:
+            pipeline = build_pipeline(pipeline)
+        cfg.pop("test_mode", None)
+        return DATASETS[t](pipeline=pipeline, **cfg)
+    raise ValueError(f"unknown dataset type {t}")
+
+
+def build_model(cfg: dict) -> GKGNetClassifier:
+    cfg = dict(cfg)
+    head = cfg.pop("head", None)
+    dtype = DTYPES[cfg.pop("dtype", "float32")]
+    return GKGNetClassifier(dtype=dtype, head_kwargs=head, **cfg)

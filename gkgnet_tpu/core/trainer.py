@@ -1,0 +1,139 @@
+"""Functional training core: TrainState + jitted train/eval steps.
+
+Replaces the reference's mmcv EpochBasedRunner + hook pipeline
+(apis/train.py:86-213, core/fp16/hooks.py) with an idiomatic JAX design:
+
+  * one pure ``train_step`` = forward (train-mode BN, DropPath rng) ->
+    dual loss -> grad -> global-norm clip -> AdamW -> EMA, compiled once
+    under jit/pjit. Under a device mesh the gradient all-reduce is fused
+    into the backward by GSPMD (no DDP hook), and BatchNorm reductions are
+    global (SyncBN) because the batch axis is sharded.
+  * bf16 compute needs no loss scaling on TPU (the reference's fp16 dynamic
+    loss scale, cfg:146, is a CUDA-ism); losses/grads accumulate in fp32.
+  * EMA follows MyEMAHook (core/hook/my_ema.py): warmup momentum
+    ``min(m, (1+t)/(warm_up+t))``, ``ema = (1-m)*ema + m*param``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from gkgnet_tpu.nn.classifier import parse_losses
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+    ema_params: Any = None
+
+
+def create_train_state(
+    model,
+    rng: Array,
+    sample_input: Array,
+    tx: optax.GradientTransformation,
+    ema: bool = False,
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "droppath": jax.random.fold_in(rng, 1),
+         "dilation": jax.random.fold_in(rng, 2)},
+        sample_input, train=False,
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}),
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(lambda x: x, params) if ema else None,
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable[[Array, Array], dict] | None = None,
+    lr_schedule: Callable | None = None,
+    ema_momentum: float | None = None,
+    ema_warmup: int = 100,
+    donate: bool = True,
+):
+    """Returns ``train_step(state, batch, rng) -> (state, log_vars)``.
+
+    ``batch``: dict with ``img`` (B, H, W, 3) and ``gt_label`` (B, C).
+    ``rng``: a base key; per-step streams are derived by folding in the step.
+    """
+    if loss_fn is None:
+        # the head's loss uses no parameters, so an unbound instance works
+        from gkgnet_tpu.nn.heads import LabelQueryHead
+        in_channels = {"t": 384, "s": 640}[model.arch]
+        head = LabelQueryHead(num_classes=model.n_classes,
+                              in_channels=in_channels,
+                              **(model.head_kwargs or {}))
+        loss_fn = head.loss
+
+    def train_step(state: TrainState, batch: dict, rng: Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {"droppath": jax.random.fold_in(step_rng, 0),
+                "dilation": jax.random.fold_in(step_rng, 1)}
+
+        def compute_loss(params):
+            (cls_score, _), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                batch["img"], train=True, rngs=rngs, mutable=["batch_stats"],
+            )
+            losses = loss_fn(cls_score, batch["gt_label"])
+            total, log_vars = parse_losses(losses)
+            return total, (log_vars, mutated["batch_stats"])
+
+        (_, (log_vars, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_momentum is not None:
+            t = state.step.astype(jnp.float32)
+            m = jnp.minimum(ema_momentum, (1.0 + t) / (ema_warmup + t))
+            new_ema = jax.tree.map(
+                lambda e, p: (1.0 - m) * e + m * p, state.ema_params, new_params)
+
+        log_vars = dict(log_vars)
+        log_vars["grad_norm"] = optax.global_norm(grads)
+        if lr_schedule is not None:
+            log_vars["lr"] = lr_schedule(state.step)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, ema_params=new_ema,
+        )
+        return new_state, log_vars
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, use_ema: bool = False):
+    """Returns ``eval_step(state, imgs) -> sigmoid scores (B, n_classes)``."""
+
+    def eval_step(state: TrainState, imgs: Array):
+        params = state.ema_params if (use_ema and state.ema_params is not None) \
+            else state.params
+        cls_score, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats,
+             "constants": state.constants},
+            imgs, train=False,
+        )
+        return jax.nn.sigmoid(cls_score.astype(jnp.float32))
+
+    return jax.jit(eval_step)

@@ -1,0 +1,146 @@
+"""Batched, threaded, deterministically-seeded data loader.
+
+Replaces torch DataLoader + mmcv collate (reference datasets/builder.py:
+51-161). Per-sample RNG is ``default_rng((seed, epoch, position))`` — the
+TPU-world version of the reference's ``worker_init_fn`` seeding
+(builder.py:148-161) with bitwise reproducibility independent of worker
+count. Decode/augment runs in a thread pool (PIL/numpy release the GIL for
+the heavy parts) with a bounded prefetch window.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from gkgnet_tpu.data.samplers import DistributedSampler
+
+
+def default_collate(samples: list[dict]) -> dict:
+    batch: dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals).astype(
+                np.float32 if vals[0].dtype != np.int32 else np.int32)
+        else:
+            batch[key] = np.asarray(vals)
+    return batch
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, sampler=None,
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = False,
+                 prefetch: int = 4, collate_fn=default_collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler if sampler is not None else \
+            DistributedSampler(dataset, 1, 0, shuffle=False, round_up=False)
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_one(self, pos_idx):
+        pos, idx = pos_idx
+        rng = np.random.default_rng((self.seed, self.epoch, pos))
+        return self.dataset.prepare_data(idx, rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = list(enumerate(self.sampler))
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    batch_samples = []
+                    for sample in pool.map(self._load_one, indices,
+                                           chunksize=4):
+                        if stop.is_set():
+                            return
+                        batch_samples.append(sample)
+                        if len(batch_samples) == self.batch_size:
+                            out_q.put(self.collate_fn(batch_samples))
+                            batch_samples = []
+                    if batch_samples and not self.drop_last:
+                        out_q.put(self.collate_fn(batch_samples))
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)
+
+
+def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 8,
+                     num_replicas: int = 1, rank: int = 0, shuffle: bool = True,
+                     sampler: str | None = None, seed: int = 0,
+                     drop_last: bool = False) -> DataLoader:
+    """mmcls build_dataloader semantics (builder.py:51-146): pick the
+    sampler ('RepeatAugSampler' on the live train path, cfg:80), shard by
+    rank."""
+    from gkgnet_tpu.data.samplers import IdInOrderSampler, RepeatAugSampler
+
+    if sampler == "RepeatAugSampler":
+        smp = RepeatAugSampler(dataset, num_replicas, rank, shuffle, seed=seed)
+    elif sampler == "IdInOrder":
+        smp = IdInOrderSampler(dataset, num_replicas, rank)
+    else:
+        smp = DistributedSampler(dataset, num_replicas, rank, shuffle,
+                                 round_up=shuffle, seed=seed)
+    return DataLoader(dataset, samples_per_gpu, smp, workers_per_gpu,
+                      seed=seed, drop_last=drop_last)
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Overlap host batch prep with device compute: keep ``size`` batches in
+    flight, placed with ``jax.device_put`` (optionally onto a sharding)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

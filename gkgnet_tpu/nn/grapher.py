@@ -37,6 +37,7 @@ from gkgnet_tpu.ops.aggregate import (
     max_relative,
 )
 from gkgnet_tpu.ops.knn import dilate_edges, knn_graph
+from gkgnet_tpu.parallel.sharding import shard_nodes
 
 Array = jax.Array
 Dtype = Any
@@ -158,11 +159,12 @@ class SpatialGraphConv(nn.Module):
         y = None
         if self.r > 1:
             y = avg_pool_nhwc(x, self.r)
-            y = fold_groups(y.reshape(b, -1, c), g)
-        xn = fold_groups(x.reshape(b, -1, c), g)
+            y = shard_nodes(fold_groups(y.reshape(b, -1, c), g), "targets")
+        xn = shard_nodes(fold_groups(x.reshape(b, -1, c), g), "queries")
 
         idx = knn_graph(xn, y, k=self.k * self.dilation, bias=rel_pos,
                         query_chunk=self.knn_chunk)
+        idx = shard_nodes(idx, "edges")
         rng = None
         if self.stochastic and train and self.epsilon > 0.0:
             rng = self.make_rng("dilation")
@@ -196,7 +198,7 @@ class LabelGraphConv(nn.Module):
     def __call__(self, labels: Array, feats: Array, train: bool):
         g = self.num_group
         xn = fold_groups(labels, g)                       # (B*g, L, C/g)
-        yn = fold_groups(feats, g)                        # (B*g, N, C/g)
+        yn = shard_nodes(fold_groups(feats, g), "targets")  # (B*g, N, C/g)
         idx = knn_graph(xn, yn, k=self.k * self.dilation)
         rng = None
         if self.stochastic and train and self.epsilon > 0.0:

@@ -1,0 +1,71 @@
+"""Edge/node-partitioned graph parallelism via GSPMD sharding constraints.
+
+The reference scales node count N only with single-device memory tricks
+(chunking/pooling/dilation, SURVEY §5.7). Here N becomes a *distributed*
+dimension: inside every dynamic graph conv the query-node axis is
+constrained to the mesh's ``graph`` axis, while the (pooled, small) target
+set stays replicated along it. XLA then partitions the
+distance matmul + top-k + gather over query shards and inserts a single
+all-gather of the target features over ICI — the two-phase top-k merge is
+unnecessary because every query's full candidate set is local after the
+(cheap) target gather.
+
+Activated with:
+
+    with graph_sharding(mesh):
+        train_step(...)   # traced under this context
+
+Outside the context the hooks are no-ops, so single-chip code pays nothing.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from contextvars import ContextVar
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_ACTIVE: ContextVar = ContextVar("graph_sharding_cfg", default=None)
+
+
+@contextmanager
+def graph_sharding(mesh: Mesh, data_axis: str = "data", graph_axis: str = "graph"):
+    token = _ACTIVE.set((mesh, data_axis, graph_axis))
+    try:
+        yield
+    finally:
+        _ACTIVE.reset(token)
+
+
+def _constraint(mesh, spec):
+    return NamedSharding(mesh, spec)
+
+
+def shard_nodes(x, kind: str):
+    """Constrain a tensor of the graph conv dataflow.
+
+    kind:
+      'queries'  — (BG, N, C): batch over data, nodes over graph
+      'targets'  — (BG, M, C): batch over data, replicated over graph
+      'edges'    — (BG, N, k): batch over data, queries over graph
+      'grid'     — (B, H, W, C): batch over data, rows over graph
+    """
+    cfg = _ACTIVE.get()
+    if cfg is None or x is None:
+        return x
+    mesh, data_axis, graph_axis = cfg
+    if kind == "queries" or kind == "edges":
+        spec = P(data_axis, graph_axis, None)
+    elif kind == "targets":
+        spec = P(data_axis, None, None)
+    elif kind == "grid":
+        spec = P(data_axis, graph_axis, None, None)
+    else:
+        raise ValueError(kind)
+    # only constrain if the sharded dims divide evenly; otherwise leave to XLA
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    for dim, name in enumerate(spec):
+        if name is not None and x.shape[dim] % axis_sizes[name] != 0:
+            return x
+    return jax.lax.with_sharding_constraint(x, _constraint(mesh, spec))

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference tools/test.py): run a checkpoint over the test
+set, print the full COCO metric dict, optionally dump raw scores."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a GKGNet-TPU model")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help="checkpoint dir (omit to eval random init)")
+    p.add_argument("--out", help="dump raw scores (pickle)")
+    p.add_argument("--metrics-out", help="dump metric dict (json)")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--ema", action="store_true", help="evaluate EMA weights")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gkgnet_tpu.core.builder import build_dataset, build_model
+    from gkgnet_tpu.core.checkpoint import restore_checkpoint
+    from gkgnet_tpu.core.config import Config, parse_cfg_option
+    from gkgnet_tpu.core.trainer import create_train_state, make_eval_step
+    from gkgnet_tpu.data.loader import build_dataloader
+    from gkgnet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from gkgnet_tpu.utils.logging import get_logger
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options({
+        k: parse_cfg_option(v) for k, v in
+        (opt.split("=", 1) for opt in args.cfg_options)})
+    logger = get_logger()
+
+    mesh_cfg = cfg.get("mesh", {"data": None, "graph": 1})
+    mesh = make_mesh(mesh_cfg.get("data"), mesh_cfg.get("graph", 1))
+    test_ds = build_dataset(cfg.data["test"])
+    model = build_model(cfg.model)
+    size = cfg.model["size"]
+    batch = args.batch or cfg.data.get("samples_per_device", 16) * \
+        mesh.devices.shape[0]
+
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((batch, size, size, 3)), optax.sgd(1e-3), ema=args.ema)
+    if args.checkpoint:
+        state, epoch, meta = restore_checkpoint(args.checkpoint, state)
+        logger.info(f"loaded {args.checkpoint} (epoch {epoch})")
+    state = replicate_state(state, mesh)
+    eval_step = make_eval_step(model, use_ema=args.ema)
+
+    loader = build_dataloader(test_ds, batch, cfg.data.get("workers", 8),
+                              shuffle=False, drop_last=False)
+    chunks = []
+    for i, b in enumerate(loader):
+        imgs = b["img"]
+        pad = batch - imgs.shape[0]
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+        sb = shard_batch({"img": imgs}, mesh)
+        scores = np.asarray(jax.device_get(eval_step(state, sb["img"])))
+        chunks.append(scores[: batch - pad] if pad else scores)
+        if (i + 1) % 10 == 0:
+            logger.info(f"{(i + 1) * batch}/{len(test_ds)}")
+    results = np.concatenate(chunks, 0)
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+        logger.info(f"dumped scores to {args.out}")
+
+    metrics = test_ds.evaluate(results, logger=logger)
+    print(json.dumps(metrics, indent=2))
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Training CLI (reference tools/train.py + apis/train.py, TPU-native).
+
+Single host:  python tools/train.py configs/gkgnet_coco_576.py
+Multi-host:   launch one process per host with JAX coordinator env set and
+              pass --multihost (jax.distributed.initialize; the data axis
+              spans hosts over DCN, the graph axis stays on ICI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a GKGNet-TPU model")
+    p.add_argument("config")
+    p.add_argument("--work-dir")
+    p.add_argument("--resume-from")
+    p.add_argument("--load-from")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="key=value deep overrides")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gkgnet_tpu.core.builder import build_dataset, build_model
+    from gkgnet_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+    from gkgnet_tpu.core.config import Config, parse_cfg_option
+    from gkgnet_tpu.core.optim import build_optimizer
+    from gkgnet_tpu.core.schedules import build_lr_schedule
+    from gkgnet_tpu.core.trainer import (
+        create_train_state, make_eval_step, make_train_step)
+    from gkgnet_tpu.data.loader import build_dataloader
+    from gkgnet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from gkgnet_tpu.parallel.sharding import graph_sharding
+    from gkgnet_tpu.utils.logging import (
+        JsonLogWriter, ScalarMeter, get_logger)
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options({
+        k: parse_cfg_option(v) for k, v in
+        (opt.split("=", 1) for opt in args.cfg_options)})
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    if args.max_epochs:
+        cfg["runner"]["max_epochs"] = args.max_epochs
+    seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+
+    work_dir = cfg.get("work_dir", "./work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    timestamp = time.strftime("%Y%m%d_%H%M%S")
+    logger = get_logger(log_file=os.path.join(work_dir, f"{timestamp}.log"))
+    jlog = JsonLogWriter(os.path.join(work_dir, f"{timestamp}.log.json"))
+    cfg.dump(os.path.join(work_dir, "config.json"))
+
+    rank, world = jax.process_index(), jax.process_count()
+    logger.info(f"devices={jax.device_count()} local={jax.local_device_count()} "
+                f"host {rank}/{world} seed={seed}")
+
+    mesh_cfg = cfg.get("mesh", {"data": None, "graph": 1})
+    mesh = make_mesh(mesh_cfg.get("data"), mesh_cfg.get("graph", 1))
+    data_size = mesh.devices.shape[0]
+
+    # ------------------------------------------------------------------ data
+    train_ds = build_dataset(cfg.data["train"])
+    val_ds = build_dataset(cfg.data["val"]) if cfg.get("evaluation") else None
+    per_device = cfg.data.get("samples_per_device", 16)
+    local_batch = per_device * jax.local_device_count() // max(
+        mesh_cfg.get("graph", 1), 1)
+    global_batch = per_device * data_size
+    sampler_type = cfg.get("sampler", {}).get("type")
+    train_loader = build_dataloader(
+        train_ds, local_batch, cfg.data.get("workers", 8),
+        num_replicas=world, rank=rank, shuffle=True,
+        sampler=sampler_type, seed=seed, drop_last=True)
+    steps_per_epoch = len(train_loader)
+    logger.info(f"train dataset: {len(train_ds)} samples, "
+                f"{steps_per_epoch} steps/epoch, global batch {global_batch}")
+
+    # ----------------------------------------------------------------- model
+    model = build_model(cfg.model)
+    size = cfg.model["size"]
+    sample = jnp.zeros((global_batch, size, size, 3))
+    lr_cfg = dict(cfg.lr_config)
+    lr_cfg["base_lr"] = cfg.optimizer["lr"]
+    lr_schedule = build_lr_schedule(lr_cfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(seed)
+    state = create_train_state(model, rng, sample, optax.sgd(1e-3),
+                               ema=args.ema or cfg.get("ema", {}).get("enabled"))
+    opt_cfg = dict(cfg.optimizer)
+    tx = build_optimizer(
+        state.params, lr_schedule, opt_cfg.get("type", "adamw"),
+        opt_cfg.get("weight_decay", 0.05), tuple(opt_cfg.get("betas", (0.9, 0.999))),
+        opt_cfg.get("eps", 1e-8), opt_cfg.get("grad_clip_norm", 5.0),
+        opt_cfg.get("paramwise_no_decay", True))
+    state = state.replace(opt_state=tx.init(state.params))
+
+    start_epoch = 0
+    if args.resume_from or cfg.get("resume_from"):
+        path = args.resume_from or cfg.resume_from
+        state, epoch, meta = restore_checkpoint(path, state)
+        start_epoch = epoch
+        logger.info(f"resumed from {path} at epoch {epoch}")
+    elif args.load_from or cfg.get("load_from"):
+        path = args.load_from or cfg.load_from
+        from gkgnet_tpu.core.checkpoint import load_params_only
+        state = state.replace(params=load_params_only(path, state.params))
+        logger.info(f"loaded weights from {path}")
+
+    state = replicate_state(state, mesh)
+    ema_cfg = cfg.get("ema", {})
+    train_step = make_train_step(
+        model, tx, lr_schedule=lr_schedule,
+        ema_momentum=ema_cfg.get("momentum", 2e-4),
+        ema_warmup=ema_cfg.get("warmup", 100))
+    eval_step = make_eval_step(model)
+
+    # ------------------------------------------------------------------ loop
+    max_epochs = cfg["runner"]["max_epochs"]
+    log_interval = cfg.get("log_config", {}).get("interval", 50)
+    eval_interval = cfg.get("evaluation", {}).get("interval", 1)
+    ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 1)
+    best_metric, best_epoch = -1.0, -1
+    meter = ScalarMeter()
+    base_rng = jax.random.PRNGKey(seed + 1)
+
+    with graph_sharding(mesh):
+        for epoch in range(start_epoch, max_epochs):
+            train_loader.set_epoch(epoch)
+            t_data = time.perf_counter()
+            for it, batch in enumerate(train_loader):
+                batch = shard_batch(
+                    {"img": batch["img"], "gt_label": batch["gt_label"]}, mesh)
+                data_time = time.perf_counter() - t_data
+                state, logs = train_step(state, batch, base_rng)
+                meter.update({"data_time": data_time})
+                if (it + 1) % log_interval == 0:
+                    logs = jax.device_get(logs)
+                    meter.update(logs)
+                    avg = meter.average(log_interval)
+                    msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(avg.items()))
+                    logger.info(f"Epoch [{epoch + 1}/{max_epochs}]"
+                                f"[{it + 1}/{steps_per_epoch}] {msg}")
+                    jlog.write("train", epoch + 1, it + 1, avg)
+                t_data = time.perf_counter()
+
+            if val_ds is not None and (epoch + 1) % eval_interval == 0:
+                scores = run_eval(val_ds, eval_step, state, local_batch,
+                                  cfg, mesh, world, rank)
+                if rank == 0:
+                    metrics_dict = val_ds.evaluate(scores, logger=logger)
+                    jlog.write("val", epoch + 1, steps_per_epoch, metrics_dict)
+                    key = cfg.get("evaluation", {}).get("save_best", "mAP")
+                    if metrics_dict.get(key, -1) > best_metric:
+                        best_metric = metrics_dict[key]
+                        best_epoch = epoch + 1
+                        save_checkpoint(os.path.join(work_dir, "best"),
+                                        jax.device_get(state), epoch + 1,
+                                        {"metric": best_metric})
+                        logger.info(f"new best {key}={best_metric:.4f}")
+
+            if (epoch + 1) % ckpt_interval == 0 and rank == 0:
+                save_checkpoint(
+                    os.path.join(work_dir, "checkpoints"),
+                    jax.device_get(state), epoch + 1,
+                    {"epoch": epoch + 1,
+                     "CLASSES": list(getattr(train_ds, "CLASSES", []))},
+                    max_to_keep=cfg.get("checkpoint_config", {}).get(
+                        "max_to_keep", 3))
+
+    logger.info(f"done. best={best_metric:.4f} @ epoch {best_epoch}")
+
+
+def run_eval(val_ds, eval_step, state, local_batch, cfg, mesh, world, rank):
+    """Sharded, order-preserving evaluation (the reference's multi_gpu_test +
+    ordered collect, apis/test.py:260-387 — here the per-host shard order is
+    deterministic so rank-0 reassembly is a simple gather)."""
+    import jax
+    import numpy as np
+
+    from gkgnet_tpu.data.loader import build_dataloader
+    from gkgnet_tpu.parallel.mesh import shard_batch
+
+    loader = build_dataloader(
+        val_ds, local_batch, cfg.data.get("workers", 8),
+        num_replicas=world, rank=rank, shuffle=False, sampler=None,
+        seed=0, drop_last=False)
+    chunks = []
+    for batch in loader:
+        imgs = batch["img"]
+        pad = 0
+        if imgs.shape[0] < local_batch:
+            pad = local_batch - imgs.shape[0]
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
+        sb = shard_batch({"img": imgs}, mesh)
+        scores = np.asarray(jax.device_get(eval_step(state, sb["img"])))
+        if pad:
+            scores = scores[:-pad]
+        chunks.append(scores)
+    local = np.concatenate(chunks, axis=0)
+    if world == 1:
+        return local
+    # multi-host: interleaved shards (rank r holds indices r::world)
+    gathered = jax.experimental.multihost_utils.process_allgather(local)
+    n_total = len(val_ds)
+    out = np.zeros((n_total, local.shape[1]), local.dtype)
+    for r in range(world):
+        rows = gathered[r][: len(range(r, n_total, world))]
+        out[r::world] = rows
+    return out
+
+
+if __name__ == "__main__":
+    main()
