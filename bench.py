@@ -34,13 +34,18 @@ def main():
     def fwd(variables, x):
         return model.apply(variables, x, train=False)[0]
 
+    import numpy as np
+
     print("compile ...", file=sys.stderr)
-    fwd(variables, x).block_until_ready()
+    # Force a host readback: through remote-execution tunnels
+    # block_until_ready can return at dispatch time, which would report
+    # dispatch throughput instead of device throughput.
+    np.asarray(fwd(variables, x))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, x)
-    out.block_until_ready()
+    np.asarray(out)  # device executes in-order; this drains the queue
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     print(f"{ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it)",
