@@ -37,6 +37,39 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# kNN build implementation: 'auto' picks the fused Pallas kernel on TPU
+# (single-device or pure-DP meshes) and the chunked XLA path elsewhere.
+_KNN_IMPL = "auto"
+
+
+def set_knn_impl(impl: str):
+    """'auto' | 'pallas' | 'xla'."""
+    global _KNN_IMPL
+    assert impl in ("auto", "pallas", "xla"), impl
+    _KNN_IMPL = impl
+
+
+def _pallas_enabled() -> bool:
+    if _KNN_IMPL == "pallas":
+        return True
+    if _KNN_IMPL == "xla":
+        return False
+    # auto: TPU backend, and not under an active graph-axis sharding context
+    # (GSPMD cannot partition the kernel over the query axis; the XLA path
+    # shards cleanly there).
+    try:
+        from gkgnet_tpu.parallel.sharding import _ACTIVE
+
+        cfg = _ACTIVE.get()
+        if cfg is not None:
+            mesh = cfg[0]
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if sizes.get(cfg[2], 1) > 1:
+                return False
+    except Exception:
+        pass
+    return jax.default_backend() in ("tpu", "axon")
+
 
 def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
     """L2-normalize along ``axis`` (torch ``F.normalize(p=2)`` semantics:
@@ -105,6 +138,18 @@ def knn_graph(
         y = x
     x = jax.lax.stop_gradient(x)
     y = jax.lax.stop_gradient(y)
+
+    if _pallas_enabled():
+        from gkgnet_tpu.ops.pallas.knn_topk import knn_topk
+
+        b2 = bias
+        if b2 is not None and b2.ndim == 3:
+            if b2.shape[0] != 1:
+                b2 = None  # batched bias: fall through to the XLA path
+            else:
+                b2 = b2[0]
+        if bias is None or b2 is not None:
+            return knn_topk(x, y, k=k, bias=b2)
 
     n = x.shape[1]
     if bias is not None and bias.ndim == 2:

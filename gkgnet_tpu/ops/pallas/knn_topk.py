@@ -1,0 +1,142 @@
+"""Fused pairwise-distance + top-k Pallas TPU kernel.
+
+Replaces the XLA path "materialize (BG, N, M) distances in HBM -> sort"
+(and the reference's chunked host loop, torch_edge.py:54-86) with one pass:
+each grid step loads a query tile and the full target set into VMEM,
+runs the distance matmul on the MXU with fp32 accumulation, adds the
+relative-position bias, and keeps a running k-best *in VMEM/registers* via
+iterative masked argmin — the full distance matrix never touches HBM.
+
+HBM traffic per layer drops from ~2 x BG*N*M*4 bytes (write + sort read) to
+just the inputs + bias + (BG, N, k) indices, which is what makes the k-NN
+build HBM-bound -> compute-bound on TPU.
+
+Tie-breaking matches torch.topk/lax.top_k on the live path: the smallest
+index among equal distances wins (first-occurrence argmin).
+
+Contract-tested against ops/knn.knn_graph (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _topk_from_dist(dist, out_ref, k: int, m_valid: int):
+    """Iterative masked argmin: k rounds over the (T, M) tile; smallest
+    index wins ties. Writes (T, k) int32 to out_ref[0]."""
+    t, m = dist.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
+    big = jnp.float32(jnp.inf)
+    dist = jnp.where(col < m_valid, dist, big)
+
+    def body(j, carry):
+        dist, idxs = carry
+        mn = jnp.min(dist, axis=1, keepdims=True)              # (T, 1)
+        idx_j = jnp.min(jnp.where(dist == mn, col, m), axis=1)  # (T,)
+        idxs = jax.lax.dynamic_update_index_in_dim(idxs, idx_j, j, 1)
+        dist = jnp.where(col == idx_j[:, None], big, dist)
+        return dist, idxs
+
+    idxs0 = jnp.zeros((t, k), jnp.int32)
+    _, idxs = jax.lax.fori_loop(0, k, body, (dist, idxs0), unroll=False)
+    out_ref[0] = idxs
+
+
+def _dist_tile(x, y):
+    inner = jax.lax.dot_general(
+        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, M)
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+    y_sq = jnp.sum(y * y, axis=1, keepdims=True)
+    return x_sq - 2.0 * inner + y_sq.T
+
+
+def _knn_kernel_bias(x_ref, y_ref, bias_ref, out_ref, *, k, m_valid):
+    dist = _dist_tile(x_ref[0], y_ref[0]) + bias_ref[...]
+    _topk_from_dist(dist, out_ref, k, m_valid)
+
+
+def _knn_kernel_nobias(x_ref, y_ref, out_ref, *, k, m_valid):
+    dist = _dist_tile(x_ref[0], y_ref[0])
+    _topk_from_dist(dist, out_ref, k, m_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def knn_topk(
+    x: Array,
+    y: Array,
+    *,
+    k: int,
+    bias: Array | None = None,
+    tile_n: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """k nearest targets per query by squared L2 distance (+bias).
+
+    Args:
+      x: (BG, N, D) queries (pre-normalized by the caller).
+      y: (BG, M, D) targets.
+      bias: optional (N, M) additive bias (broadcast over batch).
+      k: neighbors (static).
+    Returns:
+      (BG, N, k) int32 indices into M.
+    """
+    bg, n, d = x.shape
+    m = y.shape[1]
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+
+    tile_n = min(tile_n, _round_up(n, 8))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    grid = (bg, n_pad // tile_n)
+    x_spec = pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bg, n_pad, k), jnp.int32)
+    cost = pl.CostEstimate(
+        flops=2 * bg * n_pad * m * d + 3 * k * bg * n_pad * m,
+        bytes_accessed=bg * (n_pad * d + m * d) * 4 + n_pad * m * 4,
+        transcendentals=0,
+    )
+
+    if bias is not None:
+        bias2 = bias.astype(jnp.float32)
+        if n_pad != n:
+            bias2 = jnp.pad(bias2, ((0, n_pad - n), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_knn_kernel_bias, k=k, m_valid=m),
+            grid=grid,
+            in_specs=[x_spec, y_spec,
+                      pl.BlockSpec((tile_n, m), lambda b, i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=out_spec, out_shape=out_shape,
+            interpret=interpret, cost_estimate=cost,
+        )(x, y, bias2)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_knn_kernel_nobias, k=k, m_valid=m),
+            grid=grid,
+            in_specs=[x_spec, y_spec],
+            out_specs=out_spec, out_shape=out_shape,
+            interpret=interpret, cost_estimate=cost,
+        )(x, y)
+    return out[:, :n] if n_pad != n else out

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Convert a reference GKGNet torch checkpoint (.pth) to this framework's
+orbax params checkpoint (reference analog: tools/convert_models/*)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("torch_checkpoint")
+    p.add_argument("config")
+    p.add_argument("out_dir")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gkgnet_tpu.core.builder import build_model
+    from gkgnet_tpu.core.checkpoint import save_checkpoint
+    from gkgnet_tpu.core.config import Config
+    from gkgnet_tpu.utils.torch_convert import (
+        convert_reference_checkpoint, load_torch_checkpoint)
+
+    cfg = Config.fromfile(args.config)
+    model = build_model(cfg.model)
+    size = cfg.model["size"]
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False))()
+    sd = load_torch_checkpoint(args.torch_checkpoint)
+    converted = convert_reference_checkpoint(sd, jax.device_get(variables))
+    save_checkpoint(args.out_dir,
+                    {"params": converted["params"],
+                     "batch_stats": converted["batch_stats"]},
+                    epoch=0, meta={"source": args.torch_checkpoint})
+    print(f"converted -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -224,7 +224,9 @@ def run_eval(val_ds, eval_step, state, local_batch, cfg, mesh, world, rank):
     if world == 1:
         return local
     # multi-host: interleaved shards (rank r holds indices r::world)
-    gathered = jax.experimental.multihost_utils.process_allgather(local)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local)
     n_total = len(val_ds)
     out = np.zeros((n_total, local.shape[1]), local.dtype)
     for r in range(world):
