@@ -36,7 +36,7 @@ from gkgnet_tpu.ops.aggregate import (
     interleave_channels,
     max_relative,
 )
-from gkgnet_tpu.ops.knn import dilate_edges, knn_graph
+from gkgnet_tpu.ops.knn import _pallas_enabled, dilate_edges, knn_graph
 from gkgnet_tpu.parallel.sharding import shard_nodes
 
 Array = jax.Array
@@ -77,14 +77,17 @@ class GraphAggregate(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, idx: Array, y: Array | None, train: bool) -> Array:
+    def __call__(self, x: Array, idx: Array, y: Array | None, train: bool,
+                 precomputed: Array | None = None) -> Array:
         g = self.num_group
         if self.conv != "mr" and g != 1:
             raise ValueError(f"conv='{self.conv}' does not support multi-group folding")
         nn_channels = [self.in_channels * 2, self.out_channels]
 
         if self.conv == "mr":
-            agg = max_relative(x, idx, y)                 # (BG, N, D) folded
+            # fused Pallas path precomputes the aggregate alongside top-k
+            agg = precomputed if precomputed is not None \
+                else max_relative(x, idx, y)              # (BG, N, D) folded
             x_full = unfold_groups(x, g)                  # (B, N, C)
             agg_full = unfold_groups(agg, g)
             h = interleave_channels(x_full, agg_full)     # (B, N, 2C)
@@ -162,18 +165,26 @@ class SpatialGraphConv(nn.Module):
             y = shard_nodes(fold_groups(y.reshape(b, -1, c), g), "targets")
         xn = shard_nodes(fold_groups(x.reshape(b, -1, c), g), "queries")
 
-        idx = knn_graph(xn, y, k=self.k * self.dilation, bias=rel_pos,
-                        query_chunk=self.knn_chunk)
-        idx = shard_nodes(idx, "edges")
-        rng = None
-        if self.stochastic and train and self.epsilon > 0.0:
-            rng = self.make_rng("dilation")
-        idx = dilate_edges(idx, dilation=self.dilation, stochastic=self.stochastic,
-                           epsilon=self.epsilon, rng=rng, training=train)
+        stochastic_now = self.stochastic and train and self.epsilon > 0.0
+        maxrel = None
+        if self.conv == "mr" and not stochastic_now and _pallas_enabled():
+            from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused
+
+            idx, maxrel = knn_mr_fused(xn, y if y is not None else xn,
+                                       rel_pos, self.k, self.dilation)
+        else:
+            idx = knn_graph(xn, y, k=self.k * self.dilation, bias=rel_pos,
+                            query_chunk=self.knn_chunk)
+            idx = shard_nodes(idx, "edges")
+            rng = self.make_rng("dilation") if stochastic_now else None
+            idx = dilate_edges(idx, dilation=self.dilation,
+                               stochastic=self.stochastic,
+                               epsilon=self.epsilon, rng=rng, training=train)
 
         out = GraphAggregate(self.conv, self.in_channels, self.out_channels,
                              self.act, self.norm, self.use_bias, g,
-                             dtype=self.dtype, name="gconv")(xn, idx, y, train)
+                             dtype=self.dtype, name="gconv")(
+            xn, idx, y, train, precomputed=maxrel)
         return out.reshape(b, h, w, self.out_channels), idx
 
 
@@ -199,15 +210,22 @@ class LabelGraphConv(nn.Module):
         g = self.num_group
         xn = fold_groups(labels, g)                       # (B*g, L, C/g)
         yn = shard_nodes(fold_groups(feats, g), "targets")  # (B*g, N, C/g)
-        idx = knn_graph(xn, yn, k=self.k * self.dilation)
-        rng = None
-        if self.stochastic and train and self.epsilon > 0.0:
-            rng = self.make_rng("dilation")
-        idx = dilate_edges(idx, dilation=self.dilation, stochastic=self.stochastic,
-                           epsilon=self.epsilon, rng=rng, training=train)
+        stochastic_now = self.stochastic and train and self.epsilon > 0.0
+        maxrel = None
+        if self.conv == "mr" and not stochastic_now and _pallas_enabled():
+            from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused
+
+            idx, maxrel = knn_mr_fused(xn, yn, None, self.k, self.dilation)
+        else:
+            idx = knn_graph(xn, yn, k=self.k * self.dilation)
+            rng = self.make_rng("dilation") if stochastic_now else None
+            idx = dilate_edges(idx, dilation=self.dilation,
+                               stochastic=self.stochastic,
+                               epsilon=self.epsilon, rng=rng, training=train)
         out = GraphAggregate(self.conv, self.in_channels, self.out_channels,
                              self.act, self.norm, self.use_bias, g,
-                             dtype=self.dtype, name="gconv")(xn, idx, yn, train)
+                             dtype=self.dtype, name="gconv")(
+            xn, idx, yn, train, precomputed=maxrel)
         return out, idx
 
 

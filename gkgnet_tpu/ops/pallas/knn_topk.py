@@ -99,6 +99,7 @@ def knn_topk(
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
 
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     tile_n = min(tile_n, _round_up(n, 8))
     n_pad = _round_up(n, tile_n)
     if n_pad != n:

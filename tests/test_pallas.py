@@ -54,3 +54,85 @@ def test_knn_topk_tie_breaking_lowest_index():
     y = jnp.concatenate([jnp.ones((1, 3, 4)), jnp.zeros((1, 5, 4))], 1)
     got = np.asarray(knn_topk(x, y, k=3, tile_n=8, interpret=True))
     np.testing.assert_array_equal(got[0, 0], [0, 1, 2])
+
+
+# ------------------------------------------------- fused kNN + max-relative
+
+from gkgnet_tpu.ops.aggregate import max_relative
+from gkgnet_tpu.ops.knn import dilate_edges
+from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused
+
+
+def _reference_mr(x, y, k, dilation, bias=None):
+    idx = knn_graph(x, y, k=k * dilation, bias=bias)
+    idx = dilate_edges(idx, dilation=dilation)
+    return idx, max_relative(x, idx, y if y is not None else None)
+
+
+@pytest.mark.parametrize("dilation", [1, 3])
+def test_knn_mr_fused_matches_reference(dilation):
+    bg, n, d, m, k = 2, 64, 12, 48, 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((bg, m, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((n, m)) * 0.1, jnp.float32)
+    ref_idx, ref_mr = _reference_mr(x, y, k, dilation, bias)
+    idx, mr = knn_mr_fused(x, y, bias, k, dilation, 32, True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_knn_mr_fused_self_no_bias():
+    bg, n, d, k = 1, 40, 8, 5
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    ref_idx, ref_mr = _reference_mr(x, None, k, 1)
+    idx, mr = knn_mr_fused(x, x, None, k, 1, 40, True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_knn_mr_fused_gradients_match_reference():
+    bg, n, d, m, k = 1, 24, 6, 16, 3
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((bg, m, d)), jnp.float32)
+
+    def loss_fused(x, y):
+        _, mr = knn_mr_fused(x, y, None, k, 1, 24, True)
+        return jnp.sum(mr * mr)
+
+    def loss_ref(x, y):
+        idx = knn_graph(x, y, k=k)
+        mr = max_relative(x, idx, y)
+        return jnp.sum(mr * mr)
+
+    gx_f, gy_f = jax.grad(loss_fused, argnums=(0, 1))(x, y)
+    gx_r, gy_r = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_model_forward_pallas_vs_xla_impl():
+    """Full small-model forward: Pallas fused path (interpret) vs XLA path."""
+    from gkgnet_tpu.nn.classifier import GKGNetClassifier
+    from gkgnet_tpu.ops import knn as knn_mod
+
+    # size=128 keeps stage-4 target count (16) above the max k*dilation (6)
+    model = GKGNetClassifier(arch="t", k=2, k_label_gcn=2, n_classes=6,
+                             size=128)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((1, 128, 128, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    score_xla, _ = model.apply(variables, x, train=False)
+    knn_mod.set_knn_impl("pallas")
+    try:
+        score_pl, _ = model.apply(variables, x, train=False)
+    finally:
+        knn_mod.set_knn_impl("auto")
+    np.testing.assert_allclose(np.asarray(score_pl), np.asarray(score_xla),
+                               atol=1e-4, rtol=1e-4)
