@@ -193,15 +193,23 @@ class RandomFlip:
 
 class Normalize:
     """uint8 RGB -> float32 (x - mean) / std (transforms.py Normalize;
-    ``to_rgb`` accepted for config parity — images are already RGB here)."""
+    ``to_rgb`` accepted for config parity — images are already RGB here).
+    Uses the GIL-free native kernel (gkgnet_tpu/native) when available so
+    normalize doesn't serialize the threaded loader."""
 
     def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD, to_rgb=True):
         self.mean = np.array(mean, dtype=np.float32)
         self.std = np.array(std, dtype=np.float32)
 
     def __call__(self, results, rng=None):
-        img = results["img"].astype(np.float32)
-        results["img"] = (img - self.mean) / self.std
+        img = results["img"]
+        if img.dtype == np.uint8:
+            from gkgnet_tpu.native import normalize_u8
+
+            results["img"] = normalize_u8(np.ascontiguousarray(img),
+                                          self.mean, self.std)
+        else:
+            results["img"] = (img.astype(np.float32) - self.mean) / self.std
         results["img_norm_cfg"] = dict(mean=self.mean, std=self.std)
         return results
 

@@ -45,9 +45,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, batch axis over 'data'."""
+    """Place a host batch dict onto the mesh, batch axis over 'data'.
+
+    Multi-host: each process passes its *local* shard; the global array is
+    assembled across processes (the data axis must span hosts in loader
+    order — build_dataloader's rank sharding provides rank r the rows of
+    global indices r::world, matching the mesh's process order)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def replicate_state(state, mesh: Mesh):
