@@ -5,6 +5,9 @@ The reference publishes no throughput numbers (BASELINE.md), so
 ``vs_baseline`` is the ratio against the value recorded in
 ``bench_baseline.json`` (written on first run) — i.e. self-relative
 progress across rounds.
+
+Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_KNN_IMPL (auto|pallas|xla).
+Also reports edges/s (k-NN edges built per second) to stderr.
 """
 
 from __future__ import annotations
@@ -18,12 +21,16 @@ import time
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    knn_impl = os.environ.get("BENCH_KNN_IMPL", "auto")
 
     import jax
     import jax.numpy as jnp
 
     from gkgnet_tpu.nn.classifier import GKGNetClassifier
+    from gkgnet_tpu.ops.knn import set_knn_impl
+    from gkgnet_tpu.utils.profiling import model_edge_count
 
+    set_knn_impl(knn_impl)
     model = GKGNetClassifier(arch="s", n_classes=80, size=576,
                              dtype=jnp.bfloat16)
     x = jnp.zeros((batch, 576, 576, 3), jnp.bfloat16)
@@ -48,8 +55,9 @@ def main():
     np.asarray(out)  # device executes in-order; this drains the queue
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
-    print(f"{ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it)",
-          file=sys.stderr)
+    eps = model_edge_count("s", 576, batch) * iters / dt
+    print(f"{ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it, "
+          f"knn={knn_impl}, {eps/1e6:.1f}M edges/s)", file=sys.stderr)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")

@@ -46,16 +46,22 @@ def latest_epoch(directory: str) -> int | None:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(directory: str, target, epoch: int | None = None):
-    """Restore into the structure/shardings of ``target`` (an abstract or
-    concrete TrainState). Returns (state, epoch, meta)."""
+def restore_checkpoint(directory: str, target=None, epoch: int | None = None):
+    """Restore a checkpoint. With ``target`` (abstract or concrete
+    TrainState) the result has target's structure/shardings; with
+    ``target=None`` the raw saved tree (dict of TrainState fields) is
+    returned — use this for eval-side loads where the optimizer state
+    structure may differ. Returns (state, epoch, meta)."""
     if epoch is None:
         epoch = latest_epoch(directory)
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints in {directory}")
     mgr = _mgr(directory)
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-    state = mgr.restore(epoch, args=ocp.args.StandardRestore(abstract))
+    if target is None:
+        state = mgr.restore(epoch, args=ocp.args.StandardRestore())
+    else:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        state = mgr.restore(epoch, args=ocp.args.StandardRestore(abstract))
     mgr.close()
     meta_path = os.path.join(directory, f"meta_{epoch}.json")
     meta: dict[str, Any] = {}

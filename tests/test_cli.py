@@ -1,0 +1,117 @@
+"""End-to-end CLI smoke: tools/train.py trains one epoch on a synthetic
+COCO mini-dataset (CPU, small model), saves checkpoints + logs, and
+tools/test.py evaluates the saved checkpoint."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MINI_CONFIG = """
+work_dir = {work_dir!r}
+model = dict(arch="t", k=3, k_label_gcn=3, num_group=2, drop_path=0.1,
+             n_classes=80, size=128, num_gcn=1, dtype="float32",
+             head=dict(gamma_pos=0.0, gamma_neg=2.0, clip=0.05))
+img_norm = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375])
+train_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="CropMixup", p=0.5, size=128, scale=0.01, number=234),
+    dict(type="RandomFlip", flip_prob=0.5),
+    dict(type="Trivial", p=1.0),
+    dict(type="Normalize", **img_norm),
+    dict(type="Collect", keys=("img", "gt_label")),
+]
+test_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="Resize", size=128, backend="pillow", interpolation="bicubic"),
+    dict(type="Normalize", **img_norm),
+    dict(type="Collect", keys=("img",)),
+]
+# default epoch-seeded sampler: RepeatAugSampler's selected_round=256
+# truncation yields zero batches on tiny datasets (reference semantics)
+sampler = dict(type=None)
+data = dict(
+    samples_per_device=2, workers=2,
+    train=dict(type="ClassBalancedDataset", oversample_thr=0.01,
+               dataset=dict(type="COCO", data_prefix={img_dir!r},
+                            ann_file={ann!r}, pipeline=train_pipeline)),
+    val=dict(type="COCO", data_prefix={img_dir!r}, ann_file={ann!r},
+             pipeline=test_pipeline, test_mode=True),
+    test=dict(type="COCO", data_prefix={img_dir!r}, ann_file={ann!r},
+              pipeline=test_pipeline, test_mode=True),
+)
+evaluation = dict(interval=1, save_best="mAP")
+runner = dict(max_epochs=1)
+optimizer = dict(type="adamw", lr=1e-4, weight_decay=0.05,
+                 grad_clip_norm=5.0)
+lr_config = dict(policy="step", step=[10, 50], warmup="linear",
+                 warmup_ratio=1e-3, warmup_iters=5, warmup_by_epoch=True)
+checkpoint_config = dict(interval=1, max_to_keep=2)
+log_config = dict(interval=2)
+mesh = dict(data=1, graph=1)
+seed = 0
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(8):
+        name = f"im_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (100 + 8 * i, 120, 3),
+                                     dtype=np.uint8)).save(img_dir / name)
+        objects = (rng.random(80) < 0.08).astype(np.int8)
+        objects[i % 80] = 1
+        records.append({"objects": objects, "file_name": name})
+    ann = root / "mini.data"
+    with open(ann, "wb") as f:
+        pickle.dump(records, f)
+    work_dir = root / "work"
+    cfg_path = root / "mini_config.py"
+    cfg_path.write_text(MINI_CONFIG.format(
+        work_dir=str(work_dir), img_dir=str(img_dir), ann=str(ann)))
+    return root, cfg_path, work_dir
+
+
+def run(cmd, **kw):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                          env=env, cwd=REPO, **kw)
+
+
+@pytest.mark.slow
+def test_train_then_test_cli(workspace):
+    root, cfg_path, work_dir = workspace
+    res = run([sys.executable, "tools/train.py", str(cfg_path)])
+    assert res.returncode == 0, res.stderr[-4000:]
+    ckpts = os.path.join(work_dir, "checkpoints")
+    assert os.path.isdir(ckpts) and any(
+        d.isdigit() for d in os.listdir(ckpts)), res.stderr[-2000:]
+    logs = [f for f in os.listdir(work_dir) if f.endswith(".log.json")]
+    assert logs
+    with open(os.path.join(work_dir, logs[0])) as f:
+        recs = [json.loads(line) for line in f]
+    assert any(r["mode"] == "val" and "mAP" in r for r in recs)
+
+    out_pkl = str(root / "scores.pkl")
+    res = run([sys.executable, "tools/test.py", str(cfg_path), ckpts,
+               "--out", out_pkl, "--batch", "4"])
+    assert res.returncode == 0, res.stderr[-4000:]
+    metrics = json.loads(res.stdout[res.stdout.index("{"):])
+    assert "mAP" in metrics and np.isfinite(metrics["mAP"])
+    with open(out_pkl, "rb") as f:
+        scores = pickle.load(f)
+    assert scores.shape == (8, 80)

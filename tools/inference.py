@@ -29,7 +29,12 @@ def init_model(config_path: str, checkpoint: str | None = None):
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, size, size, 3)), optax.sgd(1e-3))
     if checkpoint:
-        state, _, _ = restore_checkpoint(checkpoint, state)
+        raw, _, _ = restore_checkpoint(checkpoint)
+        state = state.replace(
+            params=raw["params"],
+            batch_stats=raw.get("batch_stats") or state.batch_stats,
+            constants=raw.get("constants") or state.constants,
+        )
     return model, state, cfg
 
 

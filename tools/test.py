@@ -29,6 +29,10 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from gkgnet_tpu.utils.env import apply_env_platform
+
+    apply_env_platform()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,7 +64,15 @@ def main():
         model, jax.random.PRNGKey(0),
         jnp.zeros((batch, size, size, 3)), optax.sgd(1e-3), ema=args.ema)
     if args.checkpoint:
-        state, epoch, meta = restore_checkpoint(args.checkpoint, state)
+        # target-free raw restore: eval doesn't care about optimizer state
+        raw, epoch, meta = restore_checkpoint(args.checkpoint)
+        state = state.replace(
+            params=raw["params"],
+            batch_stats=raw.get("batch_stats") or state.batch_stats,
+            constants=raw.get("constants") or state.constants,
+            ema_params=(raw.get("ema_params") if args.ema
+                        else state.ema_params),
+        )
         logger.info(f"loaded {args.checkpoint} (epoch {epoch})")
     state = replicate_state(state, mesh)
     eval_step = make_eval_step(model, use_ema=args.ema)

@@ -35,6 +35,10 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from gkgnet_tpu.utils.env import apply_env_platform
+
+    apply_env_platform()
+
     import jax
 
     if args.multihost:
@@ -97,6 +101,10 @@ def main():
     steps_per_epoch = len(train_loader)
     logger.info(f"train dataset: {len(train_ds)} samples, "
                 f"{steps_per_epoch} steps/epoch, global batch {global_batch}")
+    if steps_per_epoch == 0:
+        raise ValueError(
+            "0 train steps/epoch — dataset smaller than one batch (note: "
+            "RepeatAugSampler truncates to multiples of selected_round=256)")
 
     # ----------------------------------------------------------------- model
     model = build_model(cfg.model)
