@@ -13,12 +13,13 @@ from gkgnet_tpu.data.wrappers import (
     KFoldDataset,
     RepeatDataset,
 )
+from gkgnet_tpu.data.single_label import ImageListDataset
 from gkgnet_tpu.nn.classifier import GKGNetClassifier
 
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
           "bf16": jnp.bfloat16, "fp32": jnp.float32}
 
-DATASETS = {"COCO": CocoMultiLabel}
+DATASETS = {"COCO": CocoMultiLabel, "ImageList": ImageListDataset}
 
 
 def build_dataset(cfg: dict):

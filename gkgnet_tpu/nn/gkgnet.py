@@ -130,6 +130,12 @@ class GKGNet(nn.Module):
             chunk = _divisor_chunk(stage_n, stage_n // (r_i * r_i), self.knn_budget)
             for _ in range(blocks[i]):
                 dilation = min(grapher_idx // 4 + 1, max_dilation)
+                n_targets = stage_n // (r_i * r_i)
+                if self.k * dilation > n_targets:
+                    raise ValueError(
+                        f"stage {i}: k*dilation={self.k * dilation} exceeds "
+                        f"{n_targets} candidate nodes — increase `size` or "
+                        f"reduce `k` (k=9 needs size>=224)")
                 x = Grapher(
                     channels[i], self.k, dilation, conv, act, "batch", bias,
                     stochastic, epsilon, r_i, drop_path=float(dpr[grapher_idx]),

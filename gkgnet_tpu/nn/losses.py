@@ -138,6 +138,61 @@ def label_smooth_loss(
     return soft_cross_entropy(pred, smooth, reduction=reduction, avg_factor=avg_factor)
 
 
+def seesaw_loss(
+    pred: Array,
+    label: Array,
+    cum_samples: Array,
+    p: float = 0.8,
+    q: float = 2.0,
+    eps: float = 1e-2,
+    reduction: str = "mean",
+    avg_factor: float | None = None,
+) -> Array:
+    """Seesaw loss (mmcls losses/seesaw_loss.py essentials): per-pair
+    mitigation by class-frequency ratio (**p) and compensation by relative
+    prediction confidence (**q), applied to the negative-class logits of a
+    softmax CE.
+
+    Args:
+      pred: (N, C) logits. label: (N,) int class ids.
+      cum_samples: (C,) cumulative per-class sample counts.
+    """
+    pred = pred.astype(jnp.float32)
+    n, c = pred.shape
+    onehot = jax.nn.one_hot(label, c, dtype=jnp.float32)
+    seesaw = jnp.ones((n, c), jnp.float32)
+    if p > 0:
+        ratio = cum_samples[None, :] / jnp.maximum(cum_samples[:, None], 1.0)
+        mitigation = jnp.where(ratio < 1.0, ratio**p, 1.0)  # (C, C)
+        seesaw = seesaw * mitigation[label]
+    if q > 0:
+        scores = jax.nn.softmax(pred, axis=-1)
+        self_score = jnp.take_along_axis(
+            scores, label[:, None].astype(jnp.int32), axis=-1)
+        compensation = jnp.where(scores > self_score,
+                                 (scores / jnp.maximum(self_score, 1e-12))**q,
+                                 1.0)
+        seesaw = seesaw * compensation
+    pred_adj = pred + jnp.log(jnp.maximum(seesaw, eps)) * (1.0 - onehot)
+    logp = jax.nn.log_softmax(pred_adj, axis=-1)
+    loss = -jnp.sum(onehot * logp, axis=-1)
+    return weight_reduce_loss(loss, None, reduction, avg_factor)
+
+
+def contrastive_loss(
+    feats_a: Array,
+    feats_b: Array,
+    temperature: float = 0.07,
+) -> Array:
+    """InfoNCE over paired features (mmcls losses/contrastive_loss.py
+    essentials): positives are the diagonal pairs."""
+    a = feats_a / jnp.linalg.norm(feats_a, axis=-1, keepdims=True)
+    b = feats_b / jnp.linalg.norm(feats_b, axis=-1, keepdims=True)
+    logits = (a @ b.T).astype(jnp.float32) / temperature
+    labels = jnp.arange(a.shape[0])
+    return cross_entropy(logits, labels)
+
+
 def focal_loss(
     pred: Array,
     target: Array,

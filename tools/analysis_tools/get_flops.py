@@ -24,6 +24,10 @@ def count_flops(model, variables, x) -> dict:
 
 
 def main():
+    from gkgnet_tpu.utils.env import apply_env_platform
+
+    apply_env_platform()
+
     p = argparse.ArgumentParser()
     p.add_argument("config", nargs="?", default=None)
     p.add_argument("--shape", type=int, nargs="+", default=[576, 576])

@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
+    from gkgnet_tpu.utils.env import apply_env_platform
+
+    apply_env_platform()
+
     p = argparse.ArgumentParser()
     p.add_argument("torch_checkpoint")
     p.add_argument("config")

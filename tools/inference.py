@@ -79,6 +79,10 @@ def show_result(img_path: str, preds, out_file: str | None = None):
 
 
 def main():
+    from gkgnet_tpu.utils.env import apply_env_platform
+
+    apply_env_platform()
+
     p = argparse.ArgumentParser(description="GKGNet-TPU single-image inference")
     p.add_argument("img")
     p.add_argument("config")
