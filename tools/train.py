@@ -69,7 +69,18 @@ def main():
         cfg.work_dir = args.work_dir
     if args.max_epochs:
         cfg["runner"]["max_epochs"] = args.max_epochs
-    seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+    seed = args.seed if args.seed is not None else cfg.get("seed", None)
+    if seed is None:
+        # reference init_random_seed: rank 0 draws, broadcasts to all
+        # (apis/train.py:34-64)
+        import numpy as np
+
+        seed = int(np.random.SeedSequence().entropy % (2**31))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            seed = int(multihost_utils.broadcast_one_to_all(
+                jax.numpy.int32(seed)))
 
     work_dir = cfg.get("work_dir", "./work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
