@@ -22,6 +22,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     knn_impl = os.environ.get("BENCH_KNN_IMPL", "auto")
+    mode = os.environ.get("BENCH_MODE", "eval")  # eval | train
+
+    if mode == "train":
+        bench_train(batch, iters, knn_impl)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -84,6 +89,56 @@ def main():
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / base, 4),
+    }))
+
+
+def bench_train(batch: int, iters: int, knn_impl: str):
+    """Training-step throughput (fwd + dual loss + bwd + AdamW + BN stats)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gkgnet_tpu.core.optim import build_optimizer
+    from gkgnet_tpu.core.schedules import step_lr_with_warmup
+    from gkgnet_tpu.core.trainer import create_train_state, make_train_step
+    from gkgnet_tpu.nn.classifier import GKGNetClassifier
+    from gkgnet_tpu.ops.knn import set_knn_impl
+    from gkgnet_tpu.utils.profiling import model_edge_count
+
+    set_knn_impl(knn_impl)
+    model = GKGNetClassifier(arch="s", n_classes=80, size=576,
+                             drop_path=0.1, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 576, 576, 3), jnp.bfloat16)
+    gt = jnp.zeros((batch, 80), jnp.float32)
+    print(f"init on {jax.devices()[0]} ...", file=sys.stderr)
+    state = create_train_state(model, jax.random.PRNGKey(0), x,
+                               optax.sgd(1e-3), ema=True)
+    sched = step_lr_with_warmup(1e-4, 1000, [10, 50], warmup_iters=5000)
+    tx = build_optimizer(state.params, sched)
+    state = state.replace(opt_state=tx.init(state.params))
+    train_step = make_train_step(model, tx, lr_schedule=sched,
+                                 ema_momentum=2e-4)
+
+    batch_dict = {"img": x, "gt_label": gt}
+    rng = jax.random.PRNGKey(1)
+    print("compile ...", file=sys.stderr)
+    state, logs = train_step(state, batch_dict, rng)
+    np.asarray(logs["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = train_step(state, batch_dict, rng)
+    np.asarray(logs["loss"])
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    eps = model_edge_count("s", 576, batch) * iters / dt
+    print(f"train: {ips:.2f} img/s ({dt/iters*1e3:.1f} ms/step, "
+          f"{eps/1e6:.1f}M edges/s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "images_per_sec_train_576",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": 1.0,
     }))
 
 
