@@ -159,6 +159,121 @@ def test_grapher_block_parity(converted):
                                atol=2e-4, rtol=2e-3)
 
 
+def torch_grapher_label_forward(sd, prefix, labels, feats, k, num_group):
+    """Plain-torch replica of GrapherLabel (torch_vertex.py:392-403 +
+    266-275 + FFNLabel), eval mode."""
+
+    def conv_bn(x, p):
+        w, b = sd[f"{p}.0.weight"], sd[f"{p}.0.bias"]
+        x = F.conv2d(x, w, b)
+        return F.batch_norm(x, sd[f"{p}.1.running_mean"], sd[f"{p}.1.running_var"],
+                            sd[f"{p}.1.weight"], sd[f"{p}.1.bias"], False)
+
+    B, C, H, W = feats.shape
+    feats = feats.reshape(B, C, -1)
+    x = labels.transpose(2, 1).unsqueeze(-1)     # (B, C, L, 1)
+    shortcut = x
+    x = conv_bn(x, f"{prefix}.fc1")
+    L = x.shape[2]
+    d = C // num_group
+    xg = x.reshape(B * num_group, d, L, 1)
+    yg = feats.reshape(B, C, -1, 1).reshape(B * num_group, d, -1, 1)
+
+    xn = F.normalize(xg, p=2.0, dim=1).squeeze(-1).transpose(2, 1)
+    yn = F.normalize(yg, p=2.0, dim=1).squeeze(-1).transpose(2, 1)
+    dist = (xn * xn).sum(-1, keepdim=True) - 2 * xn @ yn.transpose(2, 1) \
+        + (yn * yn).sum(-1, keepdim=True).transpose(2, 1)
+    _, idx = torch.topk(-dist, k=k)
+
+    bg, m = yg.shape[0], yg.shape[2]
+    base = torch.arange(bg).view(-1, 1, 1) * m
+    flat = (idx + base).reshape(-1)
+    feat = yg.squeeze(-1).transpose(2, 1).reshape(bg * m, d)[flat]
+    x_j = feat.view(bg, L, k, d).permute(0, 3, 1, 2)
+    x_i = xg.expand(-1, -1, -1, k)
+    mr, _ = torch.max(x_j - x_i, -1, keepdim=True)
+    mr = mr.reshape(B, C, L, 1)
+    xx = xg.reshape(B, C, L, 1)
+    h = torch.cat([xx.unsqueeze(2), mr.unsqueeze(2)], dim=2).reshape(B, 2 * C, L, 1)
+
+    p = f"{prefix}.graph_conv.gconv.nn"
+    h = F.conv2d(h, sd[f"{p}.0.weight"], sd[f"{p}.0.bias"], groups=4)
+    h = F.batch_norm(h, sd[f"{p}.1.running_mean"], sd[f"{p}.1.running_var"],
+                     sd[f"{p}.1.weight"], sd[f"{p}.1.bias"], False)
+    h = F.gelu(h)
+    h = conv_bn(h, f"{prefix}.fc2")
+    x = h + shortcut
+    # FFNLabel: fc1 -> gelu -> fc2 + residual, then back to (B, L, C)
+    sc = x
+    x = conv_bn(x, f"{prefix}.ffn.fc1")
+    x = F.gelu(x)
+    x = conv_bn(x, f"{prefix}.ffn.fc2")
+    x = x + sc
+    return x.transpose(2, 1).squeeze(-1)
+
+
+def test_grapher_label_parity(converted):
+    model, variables, sd, new_vars = converted
+    c0 = 48
+    rngn = np.random.default_rng(7)
+    labels = rngn.standard_normal((2, 10, c0)).astype(np.float32)
+    feats = rngn.standard_normal((2, 16, 16, c0)).astype(np.float32)
+    want = torch_grapher_label_forward(
+        sd, "backbone.gcn_label.0.0",
+        torch.from_numpy(labels),
+        torch.from_numpy(feats.transpose(0, 3, 1, 2)), k=3, num_group=2,
+    ).numpy()
+
+    gl = GrapherLabel(c0, k=3, act="gelu", use_multi_group=True, num_group=2)
+    sub = {"params": new_vars["params"]["backbone"]["gcn_label_0_0"],
+           "batch_stats": new_vars["batch_stats"]["backbone"]["gcn_label_0_0"]}
+    got, _ = gl.apply(sub, jnp.asarray(labels), jnp.asarray(feats), False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-3)
+
+
+def test_downsample_and_ffn_parity(converted):
+    model, variables, sd, new_vars = converted
+    from gkgnet_tpu.nn.layers import Downsample, FFN
+
+    rngn = np.random.default_rng(8)
+    x = rngn.standard_normal((2, 16, 16, 48)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # Downsample backbone_2: conv3x3 s2 + BN (gkgnet.py:103-118)
+    w = sd["backbone.backbone.2.conv.0.weight"]
+    b = sd["backbone.backbone.2.conv.0.bias"]
+    h = F.conv2d(xt, w, b, stride=2, padding=1)
+    want = F.batch_norm(
+        h, sd["backbone.backbone.2.conv.1.running_mean"],
+        sd["backbone.backbone.2.conv.1.running_var"],
+        sd["backbone.backbone.2.conv.1.weight"],
+        sd["backbone.backbone.2.conv.1.bias"], False).numpy()
+    ds = Downsample(96)
+    sub = {"params": new_vars["params"]["backbone"]["backbone_2"],
+           "batch_stats": new_vars["batch_stats"]["backbone"]["backbone_2"]}
+    got = np.asarray(ds.apply(sub, jnp.asarray(x), False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=2e-3)
+
+    # FFN backbone_0 slot 1 (gkgnet.py:46-72)
+    def conv_bn(x, p):
+        h = F.conv2d(x, sd[f"{p}.0.weight"], sd[f"{p}.0.bias"])
+        return F.batch_norm(h, sd[f"{p}.1.running_mean"],
+                            sd[f"{p}.1.running_var"], sd[f"{p}.1.weight"],
+                            sd[f"{p}.1.bias"], False)
+
+    h = conv_bn(xt, "backbone.backbone.0.1.fc1")
+    h = F.gelu(h)
+    h = conv_bn(h, "backbone.backbone.0.1.fc2")
+    want = (h + xt).numpy()
+    ffn = FFN(48 * 4, 48, act="gelu")
+    sub = {"params": new_vars["params"]["backbone"]["backbone_0_ffn"],
+           "batch_stats": new_vars["batch_stats"]["backbone"]["backbone_0_ffn"]}
+    got = np.asarray(ffn.apply(sub, jnp.asarray(x), False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=2e-3)
+
+
 def test_head_score_parity(converted):
     model, variables, sd, new_vars = converted
     rng = np.random.default_rng(2)
