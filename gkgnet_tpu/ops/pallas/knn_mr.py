@@ -67,37 +67,26 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
     big = jnp.float32(jnp.inf)
     dist = jnp.where(col < m_valid, dist, big)
 
-    neg_big = jnp.float32(-jnp.inf)
-    mr0 = jnp.full((t, d), neg_big, jnp.float32)
-    idxs0 = jnp.zeros((t, k), jnp.int32)
-
-    def body(j, carry):
-        dist, idxs, mr = carry
+    # statically-unrolled k*d rounds: Mosaic lacks dynamic_update_slice for
+    # a carried index buffer, and static j makes the dilation stride free
+    mr = jnp.full((t, d), -jnp.inf, jnp.float32)
+    cols = []
+    for j in range(k * dilation):
         mn = jnp.min(dist, axis=1, keepdims=True)
         idx_j = jnp.min(jnp.where(dist == mn, col, m), axis=1)   # (T,)
-        onehot = (col == idx_j[:, None]).astype(jnp.float32)     # (T, M)
-        dist = jnp.where(col == idx_j[:, None], big, dist)
-
-        take = j % dilation == 0
-
-        def do_take(args):
-            idxs, mr = args
+        mask = col == idx_j[:, None]
+        if j % dilation == 0:  # strided edge subsample (torch_edge.py:146)
+            cols.append(idx_j)
+            onehot = mask.astype(jnp.float32)                    # (T, M)
             gathered = jax.lax.dot_general(                      # (T, D) MXU
                 onehot, y_raw,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             mr = jnp.maximum(mr, gathered - x_raw)
-            idxs = jax.lax.dynamic_update_index_in_dim(
-                idxs, idx_j, j // dilation, 1)
-            return idxs, mr
+        dist = jnp.where(mask, big, dist)
 
-        idxs, mr = jax.lax.cond(take, do_take, lambda a: a, (idxs, mr))
-        return dist, idxs, mr
-
-    _, idxs, mr = jax.lax.fori_loop(0, k * dilation, body, (dist, idxs0, mr0),
-                                    unroll=False)
-    idx_ref[0] = idxs
+    idx_ref[0] = jnp.stack(cols, axis=1)
     mr_ref[0] = mr.astype(mr_ref.dtype)
 
 

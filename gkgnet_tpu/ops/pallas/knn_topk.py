@@ -34,24 +34,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _topk_from_dist(dist, out_ref, k: int, m_valid: int):
-    """Iterative masked argmin: k rounds over the (T, M) tile; smallest
-    index wins ties. Writes (T, k) int32 to out_ref[0]."""
+    """Iterative masked argmin: k statically-unrolled rounds over the
+    (T, M) tile; smallest index wins ties (torch.topk order). Writes
+    (T, k) int32 to out_ref[0]. (Static unroll: Mosaic has no
+    dynamic_update_slice for the carry, and static lane indices store
+    directly.)"""
     t, m = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
     big = jnp.float32(jnp.inf)
     dist = jnp.where(col < m_valid, dist, big)
 
-    def body(j, carry):
-        dist, idxs = carry
+    cols = []
+    for _ in range(k):
         mn = jnp.min(dist, axis=1, keepdims=True)              # (T, 1)
         idx_j = jnp.min(jnp.where(dist == mn, col, m), axis=1)  # (T,)
-        idxs = jax.lax.dynamic_update_index_in_dim(idxs, idx_j, j, 1)
+        cols.append(idx_j)
         dist = jnp.where(col == idx_j[:, None], big, dist)
-        return dist, idxs
-
-    idxs0 = jnp.zeros((t, k), jnp.int32)
-    _, idxs = jax.lax.fori_loop(0, k, body, (dist, idxs0), unroll=False)
-    out_ref[0] = idxs
+    out_ref[0] = jnp.stack(cols, axis=1)
 
 
 def _dist_tile(x, y):
