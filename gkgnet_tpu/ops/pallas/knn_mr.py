@@ -56,6 +56,8 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
     inner = jax.lax.dot_general(
         xn, yn, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # fp32 distances: bf16 MXU
+        # passes flip near-tie neighbor ranks vs the XLA reference
     )
     x_sq = jnp.sum(xn * xn, axis=1, keepdims=True)
     y_sq = jnp.sum(yn * yn, axis=1, keepdims=True)
@@ -72,8 +74,7 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
     mr = jnp.full((t, d), -jnp.inf, jnp.float32)
     cols = []
     for j in range(k * dilation):
-        mn = jnp.min(dist, axis=1, keepdims=True)
-        idx_j = jnp.min(jnp.where(dist == mn, col, m), axis=1)   # (T,)
+        idx_j = jnp.argmin(dist, axis=1).astype(jnp.int32)       # (T,)
         mask = col == idx_j[:, None]
         if j % dilation == 0:  # strided edge subsample (torch_edge.py:146)
             cols.append(idx_j)
@@ -82,6 +83,7 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
                 onehot, y_raw,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact row gather
             )
             mr = jnp.maximum(mr, gathered - x_raw)
         dist = jnp.where(mask, big, dist)

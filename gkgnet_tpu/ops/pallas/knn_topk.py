@@ -46,8 +46,7 @@ def _topk_from_dist(dist, out_ref, k: int, m_valid: int):
 
     cols = []
     for _ in range(k):
-        mn = jnp.min(dist, axis=1, keepdims=True)              # (T, 1)
-        idx_j = jnp.min(jnp.where(dist == mn, col, m), axis=1)  # (T,)
+        idx_j = jnp.argmin(dist, axis=1).astype(jnp.int32)     # (T,) first-min
         cols.append(idx_j)
         dist = jnp.where(col == idx_j[:, None], big, dist)
     out_ref[0] = jnp.stack(cols, axis=1)
@@ -57,6 +56,7 @@ def _dist_tile(x, y):
     inner = jax.lax.dot_general(
         x, y, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (T, M)
     x_sq = jnp.sum(x * x, axis=1, keepdims=True)
     y_sq = jnp.sum(y * y, axis=1, keepdims=True)
