@@ -308,6 +308,42 @@ class Trivial:
         return results
 
 
+class RandAug:
+    """RandAugment wrapper (n ops at magnitude m over the shared op
+    library; reference aug_lib.py:625-636 / auto_augment.py RandAugment)."""
+
+    def __init__(self, n=2, m=10, p=1.0):
+        from gkgnet_tpu.data.trivial_augment import RandAugment
+
+        self.p = p
+        self.aug = RandAugment(n, m)
+
+    def __call__(self, results, rng=None):
+        rng = _ensure_rng(rng)
+        if rng.random() < self.p:
+            img = Image.fromarray(results["img"])
+            results["img"] = np.asarray(self.aug(img, rng))
+        return results
+
+
+class AutoAug:
+    """AutoAugment wrapper (ImageNet policy by default; reference
+    datasets/pipelines/auto_augment.py:47-116)."""
+
+    def __init__(self, policies=None, p=1.0):
+        from gkgnet_tpu.data.trivial_augment import AutoAugment
+
+        self.p = p
+        self.aug = AutoAugment(policies)
+
+    def __call__(self, results, rng=None):
+        rng = _ensure_rng(rng)
+        if rng.random() < self.p:
+            img = Image.fromarray(results["img"])
+            results["img"] = np.asarray(self.aug(img, rng))
+        return results
+
+
 class CropMixup:
     """CropMix multi-scale crop mixing (pipelines/cropmix.py + the
     transforms.py:36-71 wrapper).

@@ -126,3 +126,62 @@ class RandAugment:
             _, op = STANDARD_OPS[rng.integers(len(STANDARD_OPS))]
             img = op(img, self.m, rng)
         return img
+
+
+def _invert(img, level, rng):
+    return ImageOps.invert(img)
+
+
+OPS_BY_NAME = dict(STANDARD_OPS)
+OPS_BY_NAME["invert"] = _invert
+
+# AutoAugment ImageNet policy (reference datasets/pipelines/auto_augment.py:
+# 47-116 — registered, unused by the GKGNet config). Each sub-policy is two
+# (op, prob, magnitude 0-9) steps; magnitudes map onto the 0-30 level scale
+# of the fixed_standard op space above.
+IMAGENET_POLICY = [
+    [("posterize", 0.4, 8), ("rotate", 0.6, 9)],
+    [("solarize", 0.6, 5), ("auto_contrast", 0.6, 5)],
+    [("equalize", 0.8, 8), ("equalize", 0.6, 3)],
+    [("posterize", 0.6, 7), ("posterize", 0.6, 6)],
+    [("equalize", 0.4, 7), ("solarize", 0.2, 4)],
+    [("equalize", 0.4, 4), ("rotate", 0.8, 8)],
+    [("solarize", 0.6, 3), ("equalize", 0.6, 7)],
+    [("posterize", 0.8, 5), ("equalize", 1.0, 2)],
+    [("rotate", 0.2, 3), ("solarize", 0.6, 8)],
+    [("equalize", 0.6, 8), ("posterize", 0.4, 6)],
+    [("rotate", 0.8, 8), ("color", 0.4, 0)],
+    [("rotate", 0.4, 9), ("equalize", 0.6, 2)],
+    [("equalize", 0.0, 7), ("equalize", 0.8, 8)],
+    [("invert", 0.6, 4), ("equalize", 1.0, 8)],
+    [("color", 0.6, 4), ("contrast", 1.0, 8)],
+    [("rotate", 0.8, 8), ("color", 1.0, 2)],
+    [("color", 0.8, 8), ("solarize", 0.8, 7)],
+    [("sharpness", 0.4, 7), ("invert", 0.6, 8)],
+    [("shear_x", 0.6, 5), ("equalize", 1.0, 9)],
+    [("color", 0.4, 0), ("equalize", 0.6, 3)],
+    [("equalize", 0.4, 7), ("solarize", 0.2, 4)],
+    [("solarize", 0.6, 5), ("auto_contrast", 0.6, 5)],
+    [("invert", 0.6, 4), ("equalize", 1.0, 8)],
+    [("color", 0.6, 4), ("contrast", 1.0, 8)],
+    [("equalize", 0.8, 8), ("equalize", 0.6, 3)],
+]
+
+
+class AutoAugment:
+    """Policy-based AutoAugment: pick one sub-policy per call, apply each
+    step with its probability at its magnitude."""
+
+    def __init__(self, policies=None):
+        self.policies = policies if policies is not None else IMAGENET_POLICY
+        for policy in self.policies:
+            for name, _, _ in policy:
+                assert name in OPS_BY_NAME, name
+
+    def __call__(self, img, rng):
+        policy = self.policies[rng.integers(len(self.policies))]
+        for name, prob, mag in policy:
+            if rng.random() < prob:
+                level = int(round(mag * PARAMETER_MAX / 9))
+                img = OPS_BY_NAME[name](img, level, rng)
+        return img

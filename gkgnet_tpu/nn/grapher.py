@@ -167,9 +167,14 @@ class SpatialGraphConv(nn.Module):
 
         stochastic_now = self.stochastic and train and self.epsilon > 0.0
         maxrel = None
-        if self.conv == "mr" and not stochastic_now and _pallas_enabled():
-            from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused
+        m = y.shape[1] if y is not None else xn.shape[1]
+        use_fused = (self.conv == "mr" and not stochastic_now
+                     and _pallas_enabled())
+        if use_fused:
+            from gkgnet_tpu.ops.pallas.knn_mr import fused_fits, knn_mr_fused
 
+            use_fused = fused_fits(xn.shape[1], m, self.k, self.dilation)
+        if use_fused:
             idx, maxrel = knn_mr_fused(xn, y if y is not None else xn,
                                        rel_pos, self.k, self.dilation)
         else:
@@ -212,9 +217,14 @@ class LabelGraphConv(nn.Module):
         yn = shard_nodes(fold_groups(feats, g), "targets")  # (B*g, N, C/g)
         stochastic_now = self.stochastic and train and self.epsilon > 0.0
         maxrel = None
-        if self.conv == "mr" and not stochastic_now and _pallas_enabled():
-            from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused
+        use_fused = (self.conv == "mr" and not stochastic_now
+                     and _pallas_enabled())
+        if use_fused:
+            from gkgnet_tpu.ops.pallas.knn_mr import fused_fits, knn_mr_fused
 
+            use_fused = fused_fits(xn.shape[1], yn.shape[1], self.k,
+                                   self.dilation)
+        if use_fused:
             idx, maxrel = knn_mr_fused(xn, yn, None, self.k, self.dilation)
         else:
             idx = knn_graph(xn, yn, k=self.k * self.dilation)

@@ -140,7 +140,7 @@ def knn_graph(
     y = jax.lax.stop_gradient(y)
 
     if _pallas_enabled():
-        from gkgnet_tpu.ops.pallas.knn_topk import knn_topk
+        from gkgnet_tpu.ops.pallas.knn_topk import knn_topk, topk_fits
 
         b2 = bias
         if b2 is not None and b2.ndim == 3:
@@ -148,7 +148,8 @@ def knn_graph(
                 b2 = None  # batched bias: fall through to the XLA path
             else:
                 b2 = b2[0]
-        if bias is None or b2 is not None:
+        if (bias is None or b2 is not None) and topk_fits(
+                x.shape[1], y.shape[1], k):
             return knn_topk(x, y, k=k, bias=b2)
 
     n = x.shape[1]

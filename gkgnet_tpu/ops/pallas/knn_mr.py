@@ -37,13 +37,36 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# v5e/v5p cores have 128 MiB of physical VMEM; the compiler's default scoped
+# limit is 16 MiB. We raise it per-kernel up to this cap (measured: the
+# stage-1 label kernel needs ~86 MiB and runs fine).
+_VMEM_CAP = 100 * 1024 * 1024
+
+
+def _scoped_vmem_bytes(tile_t: int, m: int, k: int, dilation: int) -> int:
+    """Empirical scoped-VMEM model for the selection loop: the (T, M) fp32
+    distance buffer stays live across k*d argmin/where rounds and Mosaic
+    allocates roughly one copy per round plus ~4 for iota/mask/onehot
+    (matches the compiler's reported 85.91M at T=80, M=20736, k=9)."""
+    return (k * dilation + 4) * tile_t * m * 4
+
+
+def fused_fits(n: int, m: int, k: int, dilation: int = 1,
+               tile_n: int = 256) -> bool:
+    """Whether the fused kernel's scoped VMEM fits on-chip at these shapes
+    (callers fall back to the XLA path otherwise)."""
+    t = min(tile_n, _round_up(n, 8))
+    return _scoped_vmem_bytes(t, m, k, dilation) <= _VMEM_CAP
+
+
 def _norm_rows(v):
     n = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
     return v / jnp.maximum(n, 1e-12)
 
 
 def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
-            k: int, dilation: int, m_valid: int, has_bias: bool):
+            k: int, dilation: int, m_valid: int, has_bias: bool,
+            gather_precision):
     """x_ref (1, T, D) raw queries; y_ref (1, M, D) raw targets;
     bias_ref (T, M) or dummy; idx_ref (1, T, k) int32; mr_ref (1, T, D)."""
     x_raw = x_ref[0].astype(jnp.float32)
@@ -83,7 +106,7 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
                 onehot, y_raw,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # exact row gather
+                precision=gather_precision,
             )
             mr = jnp.maximum(mr, gathered - x_raw)
         dist = jnp.where(mask, big, dist)
@@ -114,10 +137,23 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
         bias_spec = pl.BlockSpec((8, 128), lambda b, i: (0, 0),
                                  memory_space=pltpu.VMEM)
 
+    # one-hot row gather: with bf16 inputs a single-pass bf16 MXU matmul is
+    # EXACT (0/1 one-hot times bf16-representable values, fp32 accumulate)
+    # and 6x cheaper than the fp32 HIGHEST 6-pass mode; fp32 inputs keep
+    # HIGHEST so gathered values stay bit-exact (measured: 81.5 -> 44 ms at
+    # stage-1 shapes, indices bitwise identical).
+    gather_precision = (jax.lax.Precision.DEFAULT
+                        if x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST)
+    vmem_limit = min(_VMEM_CAP,
+                     max(16 * 1024 * 1024,
+                         int(_scoped_vmem_bytes(tile_n, m, k, dilation) * 1.4)))
+
     kd = k * dilation
     idx, mr = pl.pallas_call(
         functools.partial(_kernel, k=k, dilation=dilation, m_valid=m,
-                          has_bias=has_bias),
+                          has_bias=has_bias,
+                          gather_precision=gather_precision),
         grid=(bg, n_pad // tile_n),
         in_specs=[
             pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
@@ -142,6 +178,7 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
             bytes_accessed=bg * (2 * n_pad * d + m * d) * 4 + n_pad * m * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(xp, y, bias2)
     if n_pad != n:
         idx, mr = idx[:, :n], mr[:, :n]
@@ -150,7 +187,7 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def knn_mr_fused(x: Array, y: Array, bias: Array | None, k: int,
-                 dilation: int = 1, tile_n: int = 128,
+                 dilation: int = 1, tile_n: int = 256,
                  interpret: bool = False):
     """Fused kNN-graph + max-relative aggregate.
 

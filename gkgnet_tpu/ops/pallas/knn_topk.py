@@ -33,6 +33,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_VMEM_CAP = 100 * 1024 * 1024  # v5e/v5p physical VMEM is 128 MiB
+
+
+def _scoped_vmem_bytes(tile_t: int, m: int, k: int) -> int:
+    """Scoped-VMEM model (see knn_mr._scoped_vmem_bytes): one live (T, M)
+    fp32 copy per selection round plus iota/mask overhead."""
+    return (k + 4) * tile_t * m * 4
+
+
+def topk_fits(n: int, m: int, k: int, tile_n: int = 256) -> bool:
+    t = min(tile_n, _round_up(n, 8))
+    return _scoped_vmem_bytes(t, m, k) <= _VMEM_CAP
+
+
 def _topk_from_dist(dist, out_ref, k: int, m_valid: int):
     """Iterative masked argmin: k statically-unrolled rounds over the
     (T, M) tile; smallest index wins ties (torch.topk order). Writes
@@ -117,6 +131,9 @@ def knn_topk(
         bytes_accessed=bg * (n_pad * d + m * d) * 4 + n_pad * m * 4,
         transcendentals=0,
     )
+    params = pltpu.CompilerParams(vmem_limit_bytes=min(
+        _VMEM_CAP,
+        max(16 * 1024 * 1024, int(_scoped_vmem_bytes(tile_n, m, k) * 1.4))))
 
     if bias is not None:
         bias2 = bias.astype(jnp.float32)
@@ -130,6 +147,7 @@ def knn_topk(
                                    memory_space=pltpu.VMEM)],
             out_specs=out_spec, out_shape=out_shape,
             interpret=interpret, cost_estimate=cost,
+            compiler_params=params,
         )(x, y, bias2)
     else:
         out = pl.pallas_call(
@@ -138,5 +156,6 @@ def knn_topk(
             in_specs=[x_spec, y_spec],
             out_specs=out_spec, out_shape=out_shape,
             interpret=interpret, cost_estimate=cost,
+            compiler_params=params,
         )(x, y)
     return out[:, :n] if n_pad != n else out

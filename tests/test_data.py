@@ -199,3 +199,39 @@ def test_repeat_dataset(coco_dir):
     ds = CocoMultiLabel(img_dir, ann)
     rd = RepeatDataset(ds, 3)
     assert len(rd) == 36
+
+
+def test_rand_augment_and_auto_augment():
+    """RandAug / AutoAug wrappers (reference auto_augment.py — registered
+    transforms) run every policy op and are rng-deterministic."""
+    from gkgnet_tpu.data.pipelines import AutoAug, RandAug
+    from gkgnet_tpu.data.trivial_augment import (
+        AutoAugment, IMAGENET_POLICY, OPS_BY_NAME, PARAMETER_MAX)
+
+    img = np.random.default_rng(0).integers(0, 255, (48, 64, 3),
+                                            dtype=np.uint8)
+
+    out1 = RandAug(n=2, m=15)({"img": img.copy()},
+                              np.random.default_rng(3))["img"]
+    out2 = RandAug(n=2, m=15)({"img": img.copy()},
+                              np.random.default_rng(3))["img"]
+    assert out1.shape == img.shape and (out1 == out2).all()
+
+    out1 = AutoAug()({"img": img.copy()}, np.random.default_rng(5))["img"]
+    out2 = AutoAug()({"img": img.copy()}, np.random.default_rng(5))["img"]
+    assert out1.shape == img.shape and (out1 == out2).all()
+
+    # every op named in the ImageNet policy exists and runs at max level
+    from PIL import Image as PILImage
+
+    pil = PILImage.fromarray(img)
+    rng = np.random.default_rng(7)
+    for policy in IMAGENET_POLICY:
+        for name, _, _ in policy:
+            got = OPS_BY_NAME[name](pil, PARAMETER_MAX, rng)
+            assert got.size == pil.size
+
+    # a zero-prob policy is identity
+    aug = AutoAugment([[("rotate", 0.0, 9)]])
+    got = np.asarray(aug(pil, np.random.default_rng(0)))
+    assert (got == img).all()
