@@ -14,12 +14,14 @@ from gkgnet_tpu.data.wrappers import (
     RepeatDataset,
 )
 from gkgnet_tpu.data.single_label import ImageListDataset
+from gkgnet_tpu.data.voc import VOCMultiLabel
 from gkgnet_tpu.nn.classifier import GKGNetClassifier
 
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
           "bf16": jnp.bfloat16, "fp32": jnp.float32}
 
-DATASETS = {"COCO": CocoMultiLabel, "ImageList": ImageListDataset}
+DATASETS = {"COCO": CocoMultiLabel, "VOC": VOCMultiLabel,
+            "ImageList": ImageListDataset}
 
 
 def build_dataset(cfg: dict):
@@ -39,7 +41,6 @@ def build_dataset(cfg: dict):
         pipeline = cfg.pop("pipeline", None)
         if pipeline is not None:
             pipeline = build_pipeline(pipeline)
-        cfg.pop("test_mode", None)
         return DATASETS[t](pipeline=pipeline, **cfg)
     raise ValueError(f"unknown dataset type {t}")
 

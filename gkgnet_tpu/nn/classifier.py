@@ -39,7 +39,9 @@ class GKGNetClassifier(nn.Module):
     head_kwargs: dict | None = None
 
     def setup(self):
-        in_channels = {"t": 384, "s": 640}[self.arch]
+        from gkgnet_tpu.nn.gkgnet import ARCH_SETTINGS
+
+        in_channels = ARCH_SETTINGS[self.arch]["channels"][-1]
         self.backbone = GKGNet(
             arch=self.arch, k=self.k, k_label_gcn=self.k_label_gcn,
             num_group=self.num_group, drop_path=self.drop_path,

@@ -39,6 +39,13 @@ ARCH_SETTINGS = {
     "s": dict(conv="mr", act="gelu", norm="batch", bias=True,
               epsilon=0.2, use_stochastic=False,
               blocks=(2, 2, 6, 2), channels=(80, 160, 400, 640), emb_dims=1024),
+    # 'b' extends the registry with the upstream pyramid-ViG base geometry
+    # (pvig_b, Vision GNN arXiv:2206.00272) — not in the reference's t/s
+    # table, required by the pvig_b stress config in BASELINE.json.
+    "b": dict(conv="mr", act="gelu", norm="batch", bias=True,
+              epsilon=0.2, use_stochastic=False,
+              blocks=(2, 2, 18, 2), channels=(128, 256, 512, 1024),
+              emb_dims=1024),
 }
 
 REDUCE_RATIOS = (4, 2, 1, 1)  # gkgnet.py:180

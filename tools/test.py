@@ -22,6 +22,11 @@ def parse_args():
     p.add_argument("--metrics-out", help="dump metric dict (json)")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--ema", action="store_true", help="evaluate EMA weights")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host eval: jax.distributed.initialize; each "
+                        "process scores an interleaved dataset shard, "
+                        "results allgathered in order (the reference's "
+                        "multi_gpu_test + collect_results, apis/test.py:260-387)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -34,6 +39,10 @@ def main():
     apply_env_platform()
 
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
+
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -77,7 +86,9 @@ def main():
     state = replicate_state(state, mesh)
     eval_step = make_eval_step(model, use_ema=args.ema)
 
+    rank, world = jax.process_index(), jax.process_count()
     loader = build_dataloader(test_ds, batch, cfg.data.get("workers", 8),
+                              num_replicas=world, rank=rank,
                               shuffle=False, drop_last=False)
     chunks = []
     for i, b in enumerate(loader):
@@ -88,9 +99,22 @@ def main():
         sb = shard_batch({"img": imgs}, mesh)
         scores = np.asarray(jax.device_get(eval_step(state, sb["img"])))
         chunks.append(scores[: batch - pad] if pad else scores)
-        if (i + 1) % 10 == 0:
-            logger.info(f"{(i + 1) * batch}/{len(test_ds)}")
-    results = np.concatenate(chunks, 0)
+        if (i + 1) % 10 == 0 and rank == 0:
+            logger.info(f"{(i + 1) * batch * world}/{len(test_ds)}")
+    local = np.concatenate(chunks, 0)
+    if world == 1:
+        results = local
+    else:
+        # ordered collection: rank r scored indices r::world; reassemble
+        # (device allgather instead of the reference's pickled-bytes
+        # all_gather / tmpdir + barrier, apis/test.py:310-387)
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(local)
+        n_total = len(test_ds)
+        results = np.zeros((n_total, local.shape[1]), local.dtype)
+        for r in range(world):
+            results[r::world] = gathered[r][: len(range(r, n_total, world))]
 
     if args.out:
         with open(args.out, "wb") as f:
