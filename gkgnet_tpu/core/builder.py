@@ -18,7 +18,8 @@ from gkgnet_tpu.data.voc import VOCMultiLabel
 from gkgnet_tpu.nn.classifier import GKGNetClassifier
 
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-          "bf16": jnp.bfloat16, "fp32": jnp.float32}
+          "bf16": jnp.bfloat16, "fp32": jnp.float32,
+          "float16": jnp.float16, "fp16": jnp.float16}
 
 DATASETS = {"COCO": CocoMultiLabel, "VOC": VOCMultiLabel,
             "ImageList": ImageListDataset}

@@ -10,6 +10,10 @@ Replaces the reference's mmcv EpochBasedRunner + hook pipeline
     global (SyncBN) because the batch axis is sharded.
   * bf16 compute needs no loss scaling on TPU (the reference's fp16 dynamic
     loss scale, cfg:146, is a CUDA-ism); losses/grads accumulate in fp32.
+    For strict fp16-parity experiments ``make_train_step(...,
+    dynamic_loss_scale=True)`` reproduces the mmcv dynamic scaler (init
+    2**16, x2 growth every 2000 finite steps, x0.5 backoff + skipped update
+    on non-finite grads — core/fp16/hooks.py + mmcv LossScaler semantics).
   * EMA follows MyEMAHook (core/hook/my_ema.py): warmup momentum
     ``min(m, (1+t)/(warm_up+t))``, ``ema = (1-m)*ema + m*param``.
 """
@@ -35,6 +39,9 @@ class TrainState(struct.PyTreeNode):
     constants: Any
     opt_state: Any
     ema_params: Any = None
+    # dynamic loss scaling (fp16 mode only; None when disabled)
+    loss_scale: Any = None
+    good_steps: Any = None
 
 
 def create_train_state(
@@ -43,6 +50,8 @@ def create_train_state(
     sample_input: Array,
     tx: optax.GradientTransformation,
     ema: bool = False,
+    dynamic_loss_scale: bool = False,
+    init_scale: float = 2.0 ** 16,
 ) -> TrainState:
     variables = model.init(
         {"params": rng, "droppath": jax.random.fold_in(rng, 1),
@@ -57,6 +66,10 @@ def create_train_state(
         constants=variables.get("constants", {}),
         opt_state=tx.init(params),
         ema_params=jax.tree.map(lambda x: x, params) if ema else None,
+        loss_scale=(jnp.asarray(init_scale, jnp.float32)
+                    if dynamic_loss_scale else None),
+        good_steps=(jnp.zeros((), jnp.int32)
+                    if dynamic_loss_scale else None),
     )
 
 
@@ -68,6 +81,8 @@ def make_train_step(
     ema_momentum: float | None = None,
     ema_warmup: int = 100,
     donate: bool = True,
+    dynamic_loss_scale: bool = False,
+    scale_growth_interval: int = 2000,
 ):
     """Returns ``train_step(state, batch, rng) -> (state, log_vars)``.
 
@@ -76,8 +91,9 @@ def make_train_step(
     """
     if loss_fn is None:
         # the head's loss uses no parameters, so an unbound instance works
+        from gkgnet_tpu.nn.gkgnet import ARCH_SETTINGS
         from gkgnet_tpu.nn.heads import LabelQueryHead
-        in_channels = {"t": 384, "s": 640}[model.arch]
+        in_channels = ARCH_SETTINGS[model.arch]["channels"][-1]
         head = LabelQueryHead(num_classes=model.n_classes,
                               in_channels=in_channels,
                               **(model.head_kwargs or {}))
@@ -98,10 +114,43 @@ def make_train_step(
             total, log_vars = parse_losses(losses)
             return total, (log_vars, mutated["batch_stats"])
 
-        (_, (log_vars, new_stats)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+        if dynamic_loss_scale:
+            scale = state.loss_scale
+
+            def scaled_loss(params):
+                total, aux = compute_loss(params)
+                return total * scale, aux
+
+            (_, (log_vars, new_stats)), grads = jax.value_and_grad(
+                scaled_loss, has_aux=True)(state.params)
+            grads = jax.tree.map(lambda g: g / scale, grads)
+            finite = jnp.all(jnp.asarray([
+                jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+            # non-finite grads -> zero them so tx.update stays finite, then
+            # discard the whole update below (mmcv LossScaler skip semantics)
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        else:
+            (_, (log_vars, new_stats)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(state.params)
+            finite = None
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        new_scale, new_good = state.loss_scale, state.good_steps
+        if dynamic_loss_scale:
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+            new_params = keep(new_params, state.params)
+            new_opt_state = keep(new_opt_state, state.opt_state)
+            new_stats = keep(new_stats, state.batch_stats)
+            grown = finite & (state.good_steps + 1 >= scale_growth_interval)
+            new_scale = jnp.where(
+                finite, jnp.where(grown, state.loss_scale * 2.0,
+                                  state.loss_scale),
+                jnp.maximum(state.loss_scale * 0.5, 1.0))
+            new_good = jnp.where(finite & ~grown, state.good_steps + 1, 0)
 
         new_ema = state.ema_params
         if state.ema_params is not None and ema_momentum is not None:
@@ -114,9 +163,12 @@ def make_train_step(
         log_vars["grad_norm"] = optax.global_norm(grads)
         if lr_schedule is not None:
             log_vars["lr"] = lr_schedule(state.step)
+        if dynamic_loss_scale:
+            log_vars["loss_scale"] = new_scale
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_stats,
             opt_state=new_opt_state, ema_params=new_ema,
+            loss_scale=new_scale, good_steps=new_good,
         )
         return new_state, log_vars
 

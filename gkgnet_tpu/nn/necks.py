@@ -43,3 +43,77 @@ class MultiLabelProjection(nn.Module):
         b = self.param("bias", nn.initializers.zeros,
                        (self.num_classes, self.proj_channels), jnp.float32)
         return jnp.einsum("bc,ncp->bnp", x.astype(jnp.float32), w) + b
+
+
+class HRFuseScales(nn.Module):
+    """Fuse a multi-scale feature pyramid into one map (necks/hrnet_neck
+    HRFuseScales in the reference inventory): each level 1x1-projected to a
+    common width, lower-res levels bilinearly upsampled to the finest grid,
+    summed, then a 3x3 conv. NHWC."""
+
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs) -> Array:
+        if not isinstance(xs, (tuple, list)):
+            xs = (xs,)
+        h, w = xs[0].shape[1], xs[0].shape[2]
+        fused = 0.0
+        for i, x in enumerate(xs):
+            x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"proj{i}")(x)
+            if x.shape[1] != h or x.shape[2] != w:
+                x = jax.image.resize(
+                    x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
+            fused = fused + x
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="fuse")(fused)
+
+
+class ChannelMapper(nn.Module):
+    """Per-level 1x1 channel projection (necks/channel_mapper.py, commented
+    out of the reference's registry but shipped). NHWC tuple in/out."""
+
+    out_channels: int
+    kernel_size: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        single = not isinstance(xs, (tuple, list))
+        if single:
+            xs = (xs,)
+        ks = (self.kernel_size, self.kernel_size)
+        out = tuple(
+            nn.Conv(self.out_channels, ks, padding="SAME", dtype=self.dtype,
+                    name=f"conv{i}")(x)
+            for i, x in enumerate(xs))
+        return out[0] if single else out
+
+
+class FPN(nn.Module):
+    """Top-down feature pyramid (necks/fpn.py, dead in the reference's
+    registry but shipped): lateral 1x1 projections + upsample-add top-down
+    path + per-level 3x3 output convs. NHWC tuple in/out, finest first."""
+
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral{i}")(x)
+            for i, x in enumerate(xs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jax.image.resize(
+                laterals[i],
+                (laterals[i].shape[0],) + laterals[i - 1].shape[1:3]
+                + (laterals[i].shape[3],),
+                method="nearest")
+            laterals[i - 1] = laterals[i - 1] + up
+        return tuple(
+            nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name=f"fpn_conv{i}")(lat)
+            for i, lat in enumerate(laterals))

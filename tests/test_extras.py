@@ -8,7 +8,13 @@ import pytest
 
 from gkgnet_tpu.core.hooks import class_num_check, precise_bn
 from gkgnet_tpu.nn.augment import batch_cutmix, batch_mixup, build_batch_augment
-from gkgnet_tpu.nn.necks import GlobalAveragePooling, MultiLabelProjection
+from gkgnet_tpu.nn.necks import (
+    ChannelMapper,
+    FPN,
+    GlobalAveragePooling,
+    HRFuseScales,
+    MultiLabelProjection,
+)
 
 
 def test_precise_bn_recomputes_stats():
@@ -59,6 +65,26 @@ def test_multilabel_projection_neck():
     variables = neck.init(jax.random.PRNGKey(0), x)
     out = neck.apply(variables, x)
     assert out.shape == (2, 5, 8)
+
+
+def test_pyramid_necks():
+    rng = np.random.default_rng(3)
+    xs = tuple(jnp.asarray(rng.standard_normal((2, s, s, c)), jnp.float32)
+               for s, c in [(8, 16), (4, 32), (2, 64)])
+
+    neck = HRFuseScales(out_channels=24)
+    out = neck.apply(neck.init(jax.random.PRNGKey(0), xs), xs)
+    assert out.shape == (2, 8, 8, 24)  # fused at the finest grid
+
+    fpn = FPN(out_channels=24)
+    outs = fpn.apply(fpn.init(jax.random.PRNGKey(0), xs), xs)
+    assert [o.shape for o in outs] == [(2, 8, 8, 24), (2, 4, 4, 24),
+                                       (2, 2, 2, 24)]
+
+    cm = ChannelMapper(out_channels=12)
+    outs = cm.apply(cm.init(jax.random.PRNGKey(0), xs), xs)
+    assert [o.shape for o in outs] == [(2, 8, 8, 12), (2, 4, 4, 12),
+                                       (2, 2, 2, 12)]
 
 
 def test_batch_mixup_and_cutmix():

@@ -126,8 +126,13 @@ def main():
     lr_schedule = build_lr_schedule(lr_cfg, steps_per_epoch)
 
     rng = jax.random.PRNGKey(seed)
+    # fp16 = dict(loss_scale="dynamic") enables the mmcv-style dynamic loss
+    # scaler (reference cfg:146); pointless for the default bf16 recipe.
+    fp16_cfg = cfg.get("fp16") or {}
+    dyn_scale = fp16_cfg.get("loss_scale") == "dynamic"
     state = create_train_state(model, rng, sample, optax.sgd(1e-3),
-                               ema=args.ema or cfg.get("ema", {}).get("enabled"))
+                               ema=args.ema or cfg.get("ema", {}).get("enabled"),
+                               dynamic_loss_scale=dyn_scale)
     opt_cfg = dict(cfg.optimizer)
     tx = build_optimizer(
         state.params, lr_schedule, opt_cfg.get("type", "adamw"),
@@ -153,7 +158,8 @@ def main():
     train_step = make_train_step(
         model, tx, lr_schedule=lr_schedule,
         ema_momentum=ema_cfg.get("momentum", 2e-4),
-        ema_warmup=ema_cfg.get("warmup", 100))
+        ema_warmup=ema_cfg.get("warmup", 100),
+        dynamic_loss_scale=dyn_scale)
     eval_step = make_eval_step(model)
 
     # ------------------------------------------------------------------ loop
