@@ -87,16 +87,28 @@ def pairwise_sqdist(x: Array, y: Array) -> Array:
     Returns:
       ``(B, N, M)`` fp32 distances (gradients stopped).
     """
-    x = jax.lax.stop_gradient(x).astype(jnp.float32)
-    y = jax.lax.stop_gradient(y).astype(jnp.float32)
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
+    if x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16:
+        # single DEFAULT bf16 MXU pass: bitwise equal to the fp32 HIGHEST
+        # 6-pass dot on bf16-valued operands (correction passes are exact
+        # zeros) at 1/6 the MXU work
+        xd, yd = x, y
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        xd = x.astype(jnp.float32)
+        yd = y.astype(jnp.float32)
+        precision = jax.lax.Precision.HIGHEST
     inner = jax.lax.dot_general(
-        x, y,
+        xd, yd,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (B, N, M)
-    x_sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)        # (B, N, 1)
-    y_sq = jnp.sum(jnp.square(y), axis=-1, keepdims=True)        # (B, M, 1)
+    x32 = x.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    x_sq = jnp.sum(jnp.square(x32), axis=-1, keepdims=True)      # (B, N, 1)
+    y_sq = jnp.sum(jnp.square(y32), axis=-1, keepdims=True)      # (B, M, 1)
     return x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2)
 
 

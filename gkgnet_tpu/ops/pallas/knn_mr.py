@@ -47,8 +47,10 @@ def _scoped_vmem_bytes(tile_t: int, m: int, k: int, dilation: int) -> int:
     """Empirical scoped-VMEM model for the selection loop: the (T, M) fp32
     distance buffer stays live across k*d argmin/where rounds and Mosaic
     allocates roughly one copy per round plus ~4 for iota/mask/onehot
-    (matches the compiler's reported 85.91M at T=80, M=20736, k=9)."""
-    return (k * dilation + 4) * tile_t * m * 4
+    (matches the compiler's reported 85.91M at T=80, M=20736, k=9).
+    +2 rounds of headroom for the transposed-gather buffers
+    (row iota (M, T) int32 + one-hot (M, T))."""
+    return (k * dilation + 6) * tile_t * m * 4
 
 
 def fused_fits(n: int, m: int, k: int, dilation: int = 1,
@@ -66,24 +68,39 @@ def _norm_rows(v):
 
 def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
             k: int, dilation: int, m_valid: int, has_bias: bool,
-            gather_precision):
+            gather_precision, bf16_inputs: bool):
     """x_ref (1, T, D) raw queries; y_ref (1, M, D) raw targets;
     bias_ref (T, M) or dummy; idx_ref (1, T, k) int32; mr_ref (1, T, D)."""
-    x_raw = x_ref[0].astype(jnp.float32)
-    y_raw = y_ref[0].astype(jnp.float32)
+    x_in = x_ref[0]
+    y_in = y_ref[0]
+    x_raw = x_in.astype(jnp.float32)
+    y_raw = y_in.astype(jnp.float32)
     t, d = x_raw.shape
     m = y_raw.shape[0]
 
     xn = _norm_rows(x_raw)
     yn = _norm_rows(y_raw)
+    if bf16_inputs:
+        # XLA-path contract: l2_normalize rounds back to the input dtype
+        # (ops/knn.py l2_normalize -> .astype(x.dtype)). On bf16-valued
+        # operands a single DEFAULT bf16 MXU pass is BITWISE equal to the
+        # fp32 HIGHEST 6-pass dot (products of bf16s are exact in fp32 and
+        # the correction passes contribute exact zeros) at 1/6 the MXU work.
+        xn = xn.astype(jnp.bfloat16)
+        yn = yn.astype(jnp.bfloat16)
+        dist_precision = jax.lax.Precision.DEFAULT
+    else:
+        dist_precision = jax.lax.Precision.HIGHEST  # fp32 distances: bf16
+        # MXU passes flip near-tie neighbor ranks vs the XLA reference
     inner = jax.lax.dot_general(
         xn, yn, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # fp32 distances: bf16 MXU
-        # passes flip near-tie neighbor ranks vs the XLA reference
+        precision=dist_precision,
     )
-    x_sq = jnp.sum(xn * xn, axis=1, keepdims=True)
-    y_sq = jnp.sum(yn * yn, axis=1, keepdims=True)
+    xn32 = xn.astype(jnp.float32)
+    yn32 = yn.astype(jnp.float32)
+    x_sq = jnp.sum(xn32 * xn32, axis=1, keepdims=True)
+    y_sq = jnp.sum(yn32 * yn32, axis=1, keepdims=True)
     dist = x_sq - 2.0 * inner + y_sq.T
     if has_bias:
         dist = dist + bias_ref[...]
@@ -92,27 +109,36 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
     big = jnp.float32(jnp.inf)
     dist = jnp.where(col < m_valid, dist, big)
 
+    # gather operands in transposed (D, M) x (M, T) layout: output columns
+    # = T (full 128-lane tiles) instead of D=C/groups (=40 at stage 1, which
+    # pads to 128 and wastes 3x MXU throughput). Row one-hots make every
+    # output element a single exact product, so layout/order is bitwise-free.
+    gdtype = jnp.bfloat16 if bf16_inputs else jnp.float32
+    y_t = y_in.astype(gdtype).T                                 # (D, M)
+    x_t = x_raw.T                                               # (D, T)
+    row_m = jax.lax.broadcasted_iota(jnp.int32, (m, t), 0)
+
     # statically-unrolled k*d rounds: Mosaic lacks dynamic_update_slice for
     # a carried index buffer, and static j makes the dilation stride free
-    mr = jnp.full((t, d), -jnp.inf, jnp.float32)
+    mr_t = jnp.full((d, t), -jnp.inf, jnp.float32)
     cols = []
     for j in range(k * dilation):
         idx_j = jnp.argmin(dist, axis=1).astype(jnp.int32)       # (T,)
         mask = col == idx_j[:, None]
         if j % dilation == 0:  # strided edge subsample (torch_edge.py:146)
             cols.append(idx_j)
-            onehot = mask.astype(jnp.float32)                    # (T, M)
-            gathered = jax.lax.dot_general(                      # (T, D) MXU
-                onehot, y_raw,
+            onehot_t = (row_m == idx_j[None, :]).astype(gdtype)  # (M, T)
+            gathered_t = jax.lax.dot_general(                    # (D, T) MXU
+                y_t, onehot_t,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=gather_precision,
             )
-            mr = jnp.maximum(mr, gathered - x_raw)
+            mr_t = jnp.maximum(mr_t, gathered_t - x_t)
         dist = jnp.where(mask, big, dist)
 
     idx_ref[0] = jnp.stack(cols, axis=1)
-    mr_ref[0] = mr.astype(mr_ref.dtype)
+    mr_ref[0] = mr_t.T.astype(mr_ref.dtype)
 
 
 def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
@@ -142,8 +168,8 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
     # and 6x cheaper than the fp32 HIGHEST 6-pass mode; fp32 inputs keep
     # HIGHEST so gathered values stay bit-exact (measured: 81.5 -> 44 ms at
     # stage-1 shapes, indices bitwise identical).
-    gather_precision = (jax.lax.Precision.DEFAULT
-                        if x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16
+    bf16_inputs = x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16
+    gather_precision = (jax.lax.Precision.DEFAULT if bf16_inputs
                         else jax.lax.Precision.HIGHEST)
     vmem_limit = min(_VMEM_CAP,
                      max(16 * 1024 * 1024,
@@ -153,7 +179,8 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
     idx, mr = pl.pallas_call(
         functools.partial(_kernel, k=k, dilation=dilation, m_valid=m,
                           has_bias=has_bias,
-                          gather_precision=gather_precision),
+                          gather_precision=gather_precision,
+                          bf16_inputs=bf16_inputs),
         grid=(bg, n_pad // tile_n),
         in_specs=[
             pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),

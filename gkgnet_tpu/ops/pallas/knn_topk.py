@@ -67,13 +67,21 @@ def _topk_from_dist(dist, out_ref, k: int, m_valid: int):
 
 
 def _dist_tile(x, y):
+    # bf16 operands: a single DEFAULT bf16 MXU pass is bitwise equal to the
+    # fp32 HIGHEST 6-pass dot on bf16-valued data (the correction passes add
+    # exact zeros) at 1/6 the MXU work. fp32 operands keep HIGHEST.
+    precision = (jax.lax.Precision.DEFAULT
+                 if x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
     inner = jax.lax.dot_general(
         x, y, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (T, M)
-    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
-    y_sq = jnp.sum(y * y, axis=1, keepdims=True)
+    x32 = x.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    x_sq = jnp.sum(x32 * x32, axis=1, keepdims=True)
+    y_sq = jnp.sum(y32 * y32, axis=1, keepdims=True)
     return x_sq - 2.0 * inner + y_sq.T
 
 
@@ -109,8 +117,9 @@ def knn_topk(
     """
     bg, n, d = x.shape
     m = y.shape[1]
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
+    if not (x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16):
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
 
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     tile_n = min(tile_n, _round_up(n, 8))

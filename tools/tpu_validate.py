@@ -47,9 +47,21 @@ def main():
         ("stage4", 2, 324, 320, 324, 9, 3),
         ("label4", 2, 80, 320, 324, 9, 1),
     ]
-    for name, bg, n, d, m, k, dil in cases:
-        x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
-        y = jnp.asarray(rng.standard_normal((bg, m, d)), jnp.float32)
+    # bf16 = the production model dtype; filter with VALIDATE_DTYPES=bfloat16
+    # and VALIDATE_CASES=stage4,label4 (the full sweep outlives a 10-minute
+    # budget through the remote tunnel)
+    sel = os.environ.get("VALIDATE_DTYPES", "float32,bfloat16").split(",")
+    dtypes = [dt for dt in (jnp.float32, jnp.bfloat16)
+              if jnp.dtype(dt).name in sel]
+    case_sel = os.environ.get("VALIDATE_CASES")
+    if case_sel:
+        wanted = case_sel.split(",")
+        cases = [c for c in cases if c[0] in wanted]
+    for (name, bg, n, d, m, k, dil), dt in [
+            (c, dt) for dt in dtypes for c in cases]:
+        name = f"{name}/{jnp.dtype(dt).name}"
+        x = jnp.asarray(rng.standard_normal((bg, n, d)), dt)
+        y = jnp.asarray(rng.standard_normal((bg, m, d)), dt)
         bias = jnp.asarray(rng.standard_normal((n, m)) * 0.1, jnp.float32) \
             if name.startswith("stage") else None
 
