@@ -175,12 +175,26 @@ def _walk(tree, prefix=()):
 
 
 def convert_reference_checkpoint(state_dict: dict, variables: dict,
-                                 strict: bool = True) -> dict:
+                                 strict: bool = True,
+                                 report: dict | None = None) -> dict:
     """Fill a variables template {'params', 'batch_stats', ...} from a
     reference torch state_dict. Returns a new variables dict (constants and
-    any unmatched collections are passed through)."""
+    any unmatched collections are passed through).
+
+    strict=True (full-checkpoint import): any missing torch key or shape
+    mismatch is a hard error with a precise message.
+
+    strict=False (partial import — the reference's non-strict
+    ``load_state_dict`` used for the ImageNet pvig_s *backbone-only*
+    bootstrap, gkgnet.py:255-261 + configs/gkgnet/gkgnet_coco_576.py:19-24):
+    leaves whose torch key is absent or mis-shaped keep their template
+    (fresh-init) value, and the outcome is recorded in ``report``:
+    ``{'loaded': [...], 'missing': [...], 'mismatched': [...],
+    'unused': [...]}`` (torch keys; 'unused' = present in the state_dict but
+    not consumed — e.g. pvig_s's `prediction.*` ImageNet head).
+    """
     out: dict[str, Any] = {}
-    missing, mismatched = [], []
+    missing, mismatched, loaded = [], [], []
     for collection in ("params", "batch_stats"):
         if collection not in variables:
             continue
@@ -191,23 +205,41 @@ def convert_reference_checkpoint(state_dict: dict, variables: dict,
             except ConversionError:
                 if strict:
                     raise
-                continue
-            if key not in state_dict:
-                missing.append(key)
-                continue
-            val = tf(state_dict[key]).astype(np.float32)
-            if tuple(val.shape) != tuple(np.shape(leaf)):
-                mismatched.append((key, val.shape, np.shape(leaf)))
-                continue
+                key, tf = None, None
+            val = None
+            if key is not None:
+                if key not in state_dict:
+                    missing.append(key)
+                else:
+                    cand = tf(state_dict[key]).astype(np.float32)
+                    if tuple(cand.shape) != tuple(np.shape(leaf)):
+                        mismatched.append((key, cand.shape, np.shape(leaf)))
+                    else:
+                        val = cand
+                        loaded.append(key)
+            if val is None:
+                if strict:
+                    continue  # collected; raised below with the full list
+                val = np.asarray(leaf)  # keep template init
             node = new_tree
             for part in path[:-1]:
                 node = node.setdefault(part, {})
             node[path[-1]] = val
         out[collection] = new_tree
-    if missing or mismatched:
+    if strict and (missing or mismatched):
         raise ConversionError(
             f"missing keys: {missing[:10]}{'...' if len(missing) > 10 else ''}; "
             f"shape mismatches: {mismatched[:10]}")
+    if report is not None:
+        consumed = set(loaded) | set(missing) | {m[0] for m in mismatched}
+        report.update(
+            loaded=sorted(loaded), missing=sorted(missing),
+            mismatched=sorted(mismatched, key=str),
+            unused=sorted(k for k in state_dict
+                          if k not in consumed
+                          and not k.endswith("num_batches_tracked")
+                          and not k.endswith("relative_pos")
+                          and not k.endswith("label_input")))
     for collection in variables:
         if collection not in out:
             out[collection] = variables[collection]
