@@ -6,8 +6,13 @@ The reference publishes no throughput numbers (BASELINE.md), so
 ``bench_baseline.json`` (written on first run) — i.e. self-relative
 progress across rounds.
 
-Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_KNN_IMPL (auto|pallas|xla).
-Also reports edges/s (k-NN edges built per second) to stderr.
+The default run also reports (stderr): train-step img/s (fwd + dual loss +
+bwd + AdamW + EMA), host input-pipeline img/s (full train augmentation
+stack on synthetic JPEGs), edges/s, and MFU vs the analytic model flops.
+
+Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_KNN_IMPL (auto|pallas|xla),
+BENCH_MODE (eval|train|loader|all), BENCH_SKIP_TRAIN=1, BENCH_SKIP_LOADER=1,
+BENCH_PEAK_TFLOPS (197 = v5e bf16).
 """
 
 from __future__ import annotations
@@ -18,18 +23,22 @@ import sys
 import time
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    knn_impl = os.environ.get("BENCH_KNN_IMPL", "auto")
-    mode = os.environ.get("BENCH_MODE", "eval")  # eval | train
+def mfu_line(ips: float, arch: str, size: int) -> str:
+    from gkgnet_tpu.utils.profiling import model_flops
 
-    if mode == "train":
-        bench_train(batch, iters, knn_impl)
-        return
+    fl = model_flops(arch, size, 1)["per_image_total"]
+    fl_impl = model_flops(arch, size, 1, count_impl=True)["per_image_total"]
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+    return (f"MFU {ips * fl / peak * 100:.1f}% "
+            f"(impl-flops util {ips * fl_impl / peak * 100:.1f}%, "
+            f"{fl / 1e9:.1f} GF/img model, {fl_impl / 1e9:.1f} GF/img "
+            f"executed, peak {peak / 1e12:.0f} TF)")
 
+
+def bench_eval(batch: int, iters: int, knn_impl: str) -> float:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from gkgnet_tpu.nn.classifier import GKGNetClassifier
     from gkgnet_tpu.ops.knn import set_knn_impl
@@ -42,16 +51,28 @@ def main():
     print(f"init on {jax.devices()[0]} ...", file=sys.stderr)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
 
-    @jax.jit
-    def fwd(variables, x):
-        return model.apply(variables, x, train=False)[0]
+    def make_fwd():
+        # iterate ON DEVICE (lax.scan): a single dispatch per measurement.
+        # Remote TPU tunnels add ~25-90 ms of fixed dispatch+readback
+        # overhead PER CALL (measured), which at ~10 ms/step of real device
+        # time would understate throughput ~8x. The scanned epsilon is a
+        # RUNTIME argument (zeros at call time): were it a traced constant,
+        # XLA would fold x+0 and hoist the whole body out of the loop
+        # (observed: a "174% MFU" bench).
+        @jax.jit
+        def fwd(variables, x, eps):
+            def body(c, e):
+                out = model.apply(variables, x + e, train=False)[0]
+                return c + jnp.sum(out.astype(jnp.float32)), None
 
-    import numpy as np
+            return jax.lax.scan(body, jnp.float32(0), eps)[0]
 
+        return lambda v, xx: fwd(v, xx, jnp.zeros((iters,), xx.dtype))
+
+    fwd = make_fwd()
     print("compile ...", file=sys.stderr)
     # Force a host readback: through remote-execution tunnels
-    # block_until_ready can return at dispatch time, which would report
-    # dispatch throughput instead of device throughput.
+    # block_until_ready can return at dispatch time.
     try:
         np.asarray(fwd(variables, x))
     except Exception as e:
@@ -61,38 +82,21 @@ def main():
               f"XLA kNN impl", file=sys.stderr)
         knn_impl = "xla"
         set_knn_impl("xla")
-        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False)[0])
+        fwd = make_fwd()
         np.asarray(fwd(variables, x))
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x)
-    np.asarray(out)  # device executes in-order; this drains the queue
+    np.asarray(fwd(variables, x))
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     eps = model_edge_count("s", 576, batch) * iters / dt
-    print(f"{ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it, "
+    print(f"eval: {ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it, "
           f"knn={knn_impl}, {eps/1e6:.1f}M edges/s)", file=sys.stderr)
-
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "bench_baseline.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)["value"]
-    else:
-        base = ips
-        with open(baseline_path, "w") as f:
-            json.dump({"metric": "images_per_sec_eval_576", "value": ips}, f)
-
-    print(json.dumps({
-        "metric": "images_per_sec_eval_576",
-        "value": round(ips, 2),
-        "unit": "img/s",
-        "vs_baseline": round(ips / base, 4),
-    }))
+    print("eval: " + mfu_line(ips, "s", 576), file=sys.stderr)
+    return ips
 
 
-def bench_train(batch: int, iters: int, knn_impl: str):
+def bench_train(batch: int, iters: int, knn_impl: str) -> float:
     """Training-step throughput (fwd + dual loss + bwd + AdamW + BN stats)."""
     import jax
     import jax.numpy as jnp
@@ -111,7 +115,7 @@ def bench_train(batch: int, iters: int, knn_impl: str):
                              drop_path=0.1, dtype=jnp.bfloat16)
     x = jnp.zeros((batch, 576, 576, 3), jnp.bfloat16)
     gt = jnp.zeros((batch, 80), jnp.float32)
-    print(f"init on {jax.devices()[0]} ...", file=sys.stderr)
+    print(f"train init ...", file=sys.stderr)
     state = create_train_state(model, jax.random.PRNGKey(0), x,
                                optax.sgd(1e-3), ema=True)
     sched = step_lr_with_warmup(1e-4, 1000, [10, 50], warmup_iters=5000)
@@ -122,23 +126,151 @@ def bench_train(batch: int, iters: int, knn_impl: str):
 
     batch_dict = {"img": x, "gt_label": gt}
     rng = jax.random.PRNGKey(1)
-    print("compile ...", file=sys.stderr)
-    state, logs = train_step(state, batch_dict, rng)
-    np.asarray(logs["loss"])
+
+    @jax.jit
+    def run_steps(state):
+        # on-device iteration: one dispatch for the whole measurement
+        # (state advances every step, so the body is loop-variant)
+        def body(st, _):
+            st, logs = train_step(st, batch_dict, rng)
+            return st, logs["loss"]
+
+        return jax.lax.scan(body, state, None, length=iters)
+
+    print("train compile ...", file=sys.stderr)
+    state2, losses = run_steps(state)
+    np.asarray(losses[-1])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, logs = train_step(state, batch_dict, rng)
-    np.asarray(logs["loss"])
+    _, losses = run_steps(state)
+    np.asarray(losses[-1])
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     eps = model_edge_count("s", 576, batch) * iters / dt
     print(f"train: {ips:.2f} img/s ({dt/iters*1e3:.1f} ms/step, "
           f"{eps/1e6:.1f}M edges/s)", file=sys.stderr)
+    # train executes ~3x the forward flops (fwd + bwd wrt acts + wrt params)
+    from gkgnet_tpu.utils.profiling import model_flops
+    fl = model_flops("s", 576, 1)["per_image_total"] * 3
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+    print(f"train: MFU {ips * fl / peak * 100:.1f}% "
+          f"({fl / 1e9:.1f} GF/img fwd+bwd)", file=sys.stderr)
+    return ips
+
+
+def bench_loader(batch: int) -> float:
+    """Host input-pipeline throughput: full train augmentation stack
+    (CropMixup -> flip -> RandomErasing -> ColorJitter -> Trivial ->
+    Normalize -> Collect) over synthetic JPEGs, no device involved."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from gkgnet_tpu.data.coco import CocoMultiLabel
+    from gkgnet_tpu.data.loader import build_dataloader
+    from gkgnet_tpu.data.pipelines import build_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="bench_loader_")
+    rng = np.random.default_rng(0)
+    n_img = 64
+    ann = []
+    for i in range(n_img):
+        arr = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        name = f"im{i}.jpg"
+        Image.fromarray(arr).save(os.path.join(tmp, name), quality=90)
+        objs = np.zeros(80, np.float32)
+        objs[rng.integers(0, 80, 3)] = 1
+        ann.append({"file_name": name, "objects": objs})
+    import pickle
+    ann_file = os.path.join(tmp, "ann.pkl")
+    with open(ann_file, "wb") as f:
+        pickle.dump(ann, f)
+
+    pipeline = build_pipeline([
+        dict(type="LoadImageFromFile"),
+        dict(type="CropMixup", size=576, p=0.5),
+        dict(type="RandomFlip", flip_prob=0.5),
+        dict(type="RandomErasing", erase_prob=0.2),
+        dict(type="ColorJitter", brightness=0.4, contrast=0.4,
+             saturation=0.4),
+        dict(type="Trivial"),
+        dict(type="Normalize",
+             mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375]),
+        dict(type="Collect", keys=["img", "gt_label"]),
+    ])
+    ds = CocoMultiLabel(ann_file=ann_file, data_prefix=tmp,
+                        pipeline=pipeline)
+    workers = int(os.environ.get("BENCH_LOADER_WORKERS", "8"))
+    loader = build_dataloader(ds, batch, workers, num_replicas=1, rank=0,
+                              shuffle=True, seed=0, drop_last=True)
+    # warmup epoch then timed epochs
+    loader.set_epoch(0)
+    for _ in loader:
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    epochs = 4
+    for e in range(1, 1 + epochs):
+        loader.set_epoch(e)
+        for b in loader:
+            n += b["img"].shape[0]
+    dt = time.perf_counter() - t0
+    ips = n / dt
+    print(f"loader: {ips:.1f} img/s (host aug pipeline, {workers} workers, "
+          f"{n} imgs)", file=sys.stderr)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return ips
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    knn_impl = os.environ.get("BENCH_KNN_IMPL", "auto")
+    mode = os.environ.get("BENCH_MODE", "all")  # eval|train|loader|all
+
+    if mode == "train":
+        ips = bench_train(batch, iters, knn_impl)
+        print(json.dumps({"metric": "images_per_sec_train_576",
+                          "value": round(ips, 2), "unit": "img/s",
+                          "vs_baseline": 1.0}))
+        return
+    if mode == "loader":
+        ips = bench_loader(batch)
+        print(json.dumps({"metric": "images_per_sec_loader_576",
+                          "value": round(ips, 2), "unit": "img/s",
+                          "vs_baseline": 1.0}))
+        return
+
+    ips = bench_eval(batch, iters, knn_impl)
+    if mode == "all" and not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            bench_train(batch, iters, knn_impl)
+        except Exception as e:
+            print(f"train bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if mode == "all" and not os.environ.get("BENCH_SKIP_LOADER"):
+        try:
+            bench_loader(batch)
+        except Exception as e:
+            print(f"loader bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["value"]
+    else:
+        base = ips
+        with open(baseline_path, "w") as f:
+            json.dump({"metric": "images_per_sec_eval_576", "value": ips}, f)
+
     print(json.dumps({
-        "metric": "images_per_sec_train_576",
+        "metric": "images_per_sec_eval_576",
         "value": round(ips, 2),
         "unit": "img/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(ips / base, 4),
     }))
 
 

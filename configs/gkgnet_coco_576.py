@@ -52,6 +52,9 @@ sampler = dict(type="RepeatAugSampler")
 data = dict(
     samples_per_device=16,
     workers=8,
+    # process-pool augmentation workers: the train stack
+    # (CropMixup/Trivial) is GIL-bound under threads
+    loader_mode="processes",
     train=dict(
         type="ClassBalancedDataset",
         oversample_thr=0.01,
@@ -104,7 +107,8 @@ lr_config = dict(
 ema = dict(enabled=False, momentum=2e-4, warmup=100)
 
 checkpoint_config = dict(interval=1, max_to_keep=3)
-log_config = dict(interval=50)
+# TextLogger + TensorboardLogger @50 it (reference cfg:136-141)
+log_config = dict(interval=50, tensorboard=True)
 
 # mesh: data x graph; graph=1 -> pure DP
 mesh = dict(data=None, graph=1)

@@ -50,4 +50,10 @@ def build_model(cfg: dict) -> GKGNetClassifier:
     cfg = dict(cfg)
     head = cfg.pop("head", None)
     dtype = DTYPES[cfg.pop("dtype", "float32")]
+    # train_cfg.augments is consumed by the train driver (batch-level
+    # mixup/cutmix, reference classifiers/image.py:56-77), not the module
+    cfg.pop("train_cfg", None)
+    neck = cfg.pop("neck", None)
+    if neck is not None:
+        cfg["neck_cfg"] = dict(neck)
     return GKGNetClassifier(dtype=dtype, head_kwargs=head, **cfg)

@@ -55,7 +55,8 @@ def create_train_state(
 ) -> TrainState:
     variables = model.init(
         {"params": rng, "droppath": jax.random.fold_in(rng, 1),
-         "dilation": jax.random.fold_in(rng, 2)},
+         "dilation": jax.random.fold_in(rng, 2),
+         "perturbed": jax.random.fold_in(rng, 3)},
         sample_input, train=False,
     )
     params = variables["params"]
@@ -83,34 +84,47 @@ def make_train_step(
     donate: bool = True,
     dynamic_loss_scale: bool = False,
     scale_growth_interval: int = 2000,
+    batch_augment: Callable | None = None,
 ):
     """Returns ``train_step(state, batch, rng) -> (state, log_vars)``.
 
     ``batch``: dict with ``img`` (B, H, W, 3) and ``gt_label`` (B, C).
     ``rng``: a base key; per-step streams are derived by folding in the step.
+    ``batch_augment``: optional ``(rng, imgs, labels) -> (imgs, labels)``
+    device-batch augment (mixup/cutmix) built by
+    ``gkgnet_tpu.nn.augment.build_batch_augment`` from ``train_cfg.augments``
+    — the reference wires these in ``ImageClassifier.forward_train``
+    (classifiers/image.py:56-77).
     """
     if loss_fn is None:
         # the head's loss uses no parameters, so an unbound instance works
-        from gkgnet_tpu.nn.gkgnet import ARCH_SETTINGS
-        from gkgnet_tpu.nn.heads import LabelQueryHead
-        in_channels = ARCH_SETTINGS[model.arch]["channels"][-1]
-        head = LabelQueryHead(num_classes=model.n_classes,
-                              in_channels=in_channels,
-                              **(model.head_kwargs or {}))
-        loss_fn = head.loss
+        if hasattr(model, "build_loss_head"):
+            loss_fn = model.build_loss_head().loss
+        else:
+            from gkgnet_tpu.nn.gkgnet import ARCH_SETTINGS
+            from gkgnet_tpu.nn.heads import LabelQueryHead
+            in_channels = ARCH_SETTINGS[model.arch]["channels"][-1]
+            head = LabelQueryHead(num_classes=model.n_classes,
+                                  in_channels=in_channels,
+                                  **(model.head_kwargs or {}))
+            loss_fn = head.loss
 
     def train_step(state: TrainState, batch: dict, rng: Array):
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {"droppath": jax.random.fold_in(step_rng, 0),
-                "dilation": jax.random.fold_in(step_rng, 1)}
+                "dilation": jax.random.fold_in(step_rng, 1),
+                "perturbed": jax.random.fold_in(step_rng, 3)}
+        imgs, gt = batch["img"], batch["gt_label"]
+        if batch_augment is not None:
+            imgs, gt = batch_augment(jax.random.fold_in(step_rng, 2), imgs, gt)
 
         def compute_loss(params):
             (cls_score, _), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats,
                  "constants": state.constants},
-                batch["img"], train=True, rngs=rngs, mutable=["batch_stats"],
+                imgs, train=True, rngs=rngs, mutable=["batch_stats"],
             )
-            losses = loss_fn(cls_score, batch["gt_label"])
+            losses = loss_fn(cls_score, gt)
             total, log_vars = parse_losses(losses)
             return total, (log_vars, mutated["batch_stats"])
 

@@ -1,23 +1,45 @@
-"""Batched, threaded, deterministically-seeded data loader.
+"""Batched, deterministically-seeded data loader (threads or processes).
 
 Replaces torch DataLoader + mmcv collate (reference datasets/builder.py:
 51-161). Per-sample RNG is ``default_rng((seed, epoch, position))`` — the
 TPU-world version of the reference's ``worker_init_fn`` seeding
 (builder.py:148-161) with bitwise reproducibility independent of worker
-count. Decode/augment runs in a thread pool (PIL/numpy release the GIL for
-the heavy parts) with a bounded prefetch window.
+count AND of worker mode (threads vs processes produce identical batches).
+
+Two worker modes:
+  * ``threads`` — PIL/numpy release the GIL for the heavy parts; fine for
+    eval-time resize/normalize.
+  * ``processes`` — the full train augmentation stack (CropMixup multi-view
+    blending, TrivialAugment PIL ops) is GIL-bound in pure-python glue, so
+    the train path fans out to a spawn-based process pool (the reference
+    counterpart is torch DataLoader's worker processes). The pool is kept
+    alive across epochs.
 """
 
 from __future__ import annotations
 
+import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
 
 from gkgnet_tpu.data.samplers import DistributedSampler
+
+_WORKER_DS = None
+
+
+def _mp_init(ds_bytes: bytes):
+    global _WORKER_DS
+    _WORKER_DS = pickle.loads(ds_bytes)
+
+
+def _mp_load(args):
+    seed, epoch, pos, idx = args
+    rng = np.random.default_rng((seed, epoch, pos))
+    return _WORKER_DS.prepare_data(idx, rng)
 
 
 def default_collate(samples: list[dict]) -> dict:
@@ -35,7 +57,8 @@ def default_collate(samples: list[dict]) -> dict:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, sampler=None,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 4, collate_fn=default_collate):
+                 prefetch: int = 4, collate_fn=default_collate,
+                 mode: str = "threads"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler if sampler is not None else \
@@ -46,6 +69,25 @@ class DataLoader:
         self.prefetch = prefetch
         self.collate_fn = collate_fn
         self.epoch = 0
+        assert mode in ("threads", "processes"), mode
+        self.mode = mode
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            # spawn: no inherited TPU/JAX runtime state in workers
+            self._pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("spawn"),
+                initializer=_mp_init,
+                initargs=(pickle.dumps(self.dataset),))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -67,10 +109,17 @@ class DataLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if self.mode == "processes":
+                    pool = self._process_pool()  # persists across epochs
+                    args = [(self.seed, self.epoch, pos, idx)
+                            for pos, idx in indices]
+                    stream = pool.map(_mp_load, args, chunksize=2)
+                else:
+                    pool = ThreadPoolExecutor(self.num_workers)
+                    stream = pool.map(self._load_one, indices, chunksize=4)
+                try:
                     batch_samples = []
-                    for sample in pool.map(self._load_one, indices,
-                                           chunksize=4):
+                    for sample in stream:
                         if stop.is_set():
                             return
                         batch_samples.append(sample)
@@ -79,6 +128,9 @@ class DataLoader:
                             batch_samples = []
                     if batch_samples and not self.drop_last:
                         out_q.put(self.collate_fn(batch_samples))
+                finally:
+                    if self.mode != "processes":
+                        pool.shutdown(wait=False, cancel_futures=True)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)
             finally:
@@ -107,10 +159,12 @@ class DataLoader:
 def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 8,
                      num_replicas: int = 1, rank: int = 0, shuffle: bool = True,
                      sampler: str | None = None, seed: int = 0,
-                     drop_last: bool = False) -> DataLoader:
+                     drop_last: bool = False,
+                     mode: str = "threads") -> DataLoader:
     """mmcls build_dataloader semantics (builder.py:51-146): pick the
     sampler ('RepeatAugSampler' on the live train path, cfg:80), shard by
-    rank."""
+    rank. ``mode='processes'`` fans the augmentation stack out to a process
+    pool (use for the train pipeline, which is GIL-bound under threads)."""
     from gkgnet_tpu.data.samplers import IdInOrderSampler, RepeatAugSampler
 
     if sampler == "RepeatAugSampler":
@@ -121,7 +175,7 @@ def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 8,
         smp = DistributedSampler(dataset, num_replicas, rank, shuffle,
                                  round_up=shuffle, seed=seed)
     return DataLoader(dataset, samples_per_gpu, smp, workers_per_gpu,
-                      seed=seed, drop_last=drop_last)
+                      seed=seed, drop_last=drop_last, mode=mode)
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

@@ -80,6 +80,8 @@ class GKGNet(nn.Module):
     size: int = 576
     num_gcn: int = 1                      # GrapherLabels in the last stage
     out_indices: tuple = (3,)
+    return_stage_feats: bool = False      # also return multi-scale features
+    graph_builder: str = "knn"            # 'knn' | 'perturbed' (soft top-k)
     knn_budget: int = 1 << 22
     dtype: Dtype = jnp.float32
 
@@ -127,6 +129,7 @@ class GKGNet(nn.Module):
         stage_n = n0
         edge_index = None
         label_stage = 0
+        stage_feats = []  # end-of-stage maps for out_indices / necks
         for i in range(len(blocks)):
             if i > 0:
                 x = Downsample(channels[i], dtype=self.dtype,
@@ -148,6 +151,7 @@ class GKGNet(nn.Module):
                     stochastic, epsilon, r_i, drop_path=float(dpr[grapher_idx]),
                     use_multi_group=self.backbone_multi_group,
                     num_group=self.num_group, knn_chunk=chunk,
+                    graph_builder=self.graph_builder,
                     dtype=self.dtype, name=f"backbone_{module_idx}_grapher",
                 )(x, rel_tables[i], train)
                 x = FFN(channels[i] * 4, channels[i], act,
@@ -164,7 +168,9 @@ class GKGNet(nn.Module):
                             bias, stochastic, epsilon,
                             drop_path=float(dpr[int(np.sum(blocks[:i]))]),
                             use_multi_group=self.use_multi_group,
-                            num_group=self.num_group, dtype=self.dtype,
+                            num_group=self.num_group,
+                            graph_builder=self.graph_builder,
+                            dtype=self.dtype,
                             name=f"gcn_label_{label_stage}_{kk}",
                         )(label_emb, x, train)
                     if label_stage < len(blocks) - 1:
@@ -174,6 +180,14 @@ class GKGNet(nn.Module):
                             name=f"ffn_label_{label_stage}",
                         )(label_emb)
                     label_stage += 1
+            if i in self.out_indices:
+                stage_feats.append(x)
 
         gap = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (B, C3)
+        if self.return_stage_feats:
+            # multi-scale feature output selected by out_indices
+            # (the reference accepts the knob but never honors it,
+            # gkgnet.py:150-164; here it feeds the necks)
+            return label_emb, gap.astype(self.dtype), edge_index, \
+                tuple(stage_feats)
         return label_emb, gap.astype(self.dtype), edge_index

@@ -37,7 +37,12 @@ from gkgnet_tpu.ops.aggregate import (
     max_relative,
 )
 from gkgnet_tpu.ops.knn import _pallas_enabled, dilate_edges, knn_graph
-from gkgnet_tpu.parallel.sharding import shard_nodes
+from gkgnet_tpu.parallel.sharding import (
+    active_graph_cfg,
+    data_axis_size,
+    graph_axis_size,
+    shard_nodes,
+)
 
 Array = jax.Array
 Dtype = Any
@@ -132,6 +137,22 @@ class GraphAggregate(nn.Module):
         raise NotImplementedError(f"conv:{self.conv} is not supported")
 
 
+def _soft_maxrel(mod: nn.Module, xn: Array, y: Array | None, k: int,
+                 dilation: int, train: bool) -> Array:
+    """Differentiable graph build: perturbed-top-k soft neighbor gather +
+    max-relative (torch_edge.py:107-122 semantics; sigma/num_samples are the
+    reference's hard-coded 0.1/20). Only 'mr' aggregation composes with the
+    soft gather (as in the reference, which feeds x_j straight to MRConv)."""
+    if mod.conv != "mr":
+        raise ValueError("graph_builder='perturbed' requires conv='mr'")
+    from gkgnet_tpu.ops.perturbed_topk import soft_knn_gather
+
+    rng = mod.make_rng("perturbed") if train else None
+    x_j = soft_knn_gather(xn, y if y is not None else xn, k,
+                          dilation=dilation, rng=rng, training=train)
+    return jnp.max(x_j.astype(xn.dtype) - xn[:, :, None, :], axis=2)
+
+
 class SpatialGraphConv(nn.Module):
     """Dynamic spatial graph conv over the patch grid
     (DyGraphConv2d[MultiGroup], torch_vertex.py:175-228).
@@ -153,6 +174,9 @@ class SpatialGraphConv(nn.Module):
     r: int = 1
     num_group: int = 2
     knn_chunk: int | None = None
+    # 'knn' (hard top-k, the live path) or 'perturbed' (differentiable
+    # soft top-k, DenseDilatedKnnGraphDifferentiable torch_edge.py:177-202)
+    graph_builder: str = "knn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -165,15 +189,51 @@ class SpatialGraphConv(nn.Module):
             y = shard_nodes(fold_groups(y.reshape(b, -1, c), g), "targets")
         xn = shard_nodes(fold_groups(x.reshape(b, -1, c), g), "queries")
 
+        if self.graph_builder == "perturbed":
+            maxrel = _soft_maxrel(self, xn, y, self.k, self.dilation, train)
+            out = GraphAggregate(self.conv, self.in_channels,
+                                 self.out_channels, self.act, self.norm,
+                                 self.use_bias, g, dtype=self.dtype,
+                                 name="gconv")(xn, None, y, train,
+                                               precomputed=maxrel)
+            return out.reshape(b, h, w, self.out_channels), None
+
         stochastic_now = self.stochastic and train and self.epsilon > 0.0
         maxrel = None
         m = y.shape[1] if y is not None else xn.shape[1]
+
+        # Under an active graph axis route through the explicit
+        # edge-partitioned shard_map path (ring-overlapped or all-gather)
+        # so the fused Pallas kernels run per shard — GSPMD cannot
+        # partition a custom call over the query axis.
+        gcfg = active_graph_cfg()
+        gs = graph_axis_size()
+        if (gcfg is not None and gs > 1 and self.conv == "mr"
+                and not stochastic_now
+                and xn.shape[1] % gs == 0 and m % gs == 0
+                and xn.shape[0] % data_axis_size() == 0):
+            from gkgnet_tpu.parallel.edge_partition import (
+                _pallas_ok, edge_partitioned_knn_mr)
+
+            idx, maxrel = edge_partitioned_knn_mr(
+                gcfg.mesh, xn, y, rel_pos, k=self.k, dilation=self.dilation,
+                data_axis=gcfg.data_axis, graph_axis=gcfg.graph_axis,
+                use_pallas=_pallas_ok(), overlap=gcfg.overlap)
+            out = GraphAggregate(self.conv, self.in_channels,
+                                 self.out_channels, self.act, self.norm,
+                                 self.use_bias, g, dtype=self.dtype,
+                                 name="gconv")(xn, idx, y, train,
+                                               precomputed=maxrel)
+            return out.reshape(b, h, w, self.out_channels), idx
+
         use_fused = (self.conv == "mr" and not stochastic_now
                      and _pallas_enabled())
         if use_fused:
             from gkgnet_tpu.ops.pallas.knn_mr import fused_fits, knn_mr_fused
 
-            use_fused = fused_fits(xn.shape[1], m, self.k, self.dilation)
+            use_fused = fused_fits(
+                xn.shape[1], m, self.k, self.dilation, d=xn.shape[2],
+                itembytes=jnp.dtype(xn.dtype).itemsize)
         if use_fused:
             idx, maxrel = knn_mr_fused(xn, y if y is not None else xn,
                                        rel_pos, self.k, self.dilation)
@@ -208,6 +268,7 @@ class LabelGraphConv(nn.Module):
     stochastic: bool = False
     epsilon: float = 0.0
     num_group: int = 2
+    graph_builder: str = "knn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,15 +276,46 @@ class LabelGraphConv(nn.Module):
         g = self.num_group
         xn = fold_groups(labels, g)                       # (B*g, L, C/g)
         yn = shard_nodes(fold_groups(feats, g), "targets")  # (B*g, N, C/g)
+        if self.graph_builder == "perturbed":
+            maxrel = _soft_maxrel(self, xn, yn, self.k, self.dilation, train)
+            out = GraphAggregate(self.conv, self.in_channels,
+                                 self.out_channels, self.act, self.norm,
+                                 self.use_bias, g, dtype=self.dtype,
+                                 name="gconv")(xn, None, yn, train,
+                                               precomputed=maxrel)
+            return out, None
         stochastic_now = self.stochastic and train and self.epsilon > 0.0
         maxrel = None
+
+        # active graph axis: the label tokens are replicated over it while
+        # only the data axis is sharded — run the fused kernel inside a
+        # data-mapped shard_map (GSPMD can't partition the custom call)
+        gcfg = active_graph_cfg()
+        if (gcfg is not None and graph_axis_size() > 1 and self.conv == "mr"
+                and not stochastic_now
+                and xn.shape[0] % data_axis_size() == 0):
+            from gkgnet_tpu.parallel.edge_partition import (
+                _pallas_ok, replicated_knn_mr)
+
+            idx, maxrel = replicated_knn_mr(
+                gcfg.mesh, xn, yn, k=self.k, dilation=self.dilation,
+                data_axis=gcfg.data_axis, graph_axis=gcfg.graph_axis,
+                use_pallas=_pallas_ok())
+            out = GraphAggregate(self.conv, self.in_channels,
+                                 self.out_channels, self.act, self.norm,
+                                 self.use_bias, g, dtype=self.dtype,
+                                 name="gconv")(xn, idx, yn, train,
+                                               precomputed=maxrel)
+            return out, idx
+
         use_fused = (self.conv == "mr" and not stochastic_now
                      and _pallas_enabled())
         if use_fused:
             from gkgnet_tpu.ops.pallas.knn_mr import fused_fits, knn_mr_fused
 
-            use_fused = fused_fits(xn.shape[1], yn.shape[1], self.k,
-                                   self.dilation)
+            use_fused = fused_fits(
+                xn.shape[1], yn.shape[1], self.k, self.dilation,
+                d=xn.shape[2], itembytes=jnp.dtype(xn.dtype).itemsize)
         if use_fused:
             idx, maxrel = knn_mr_fused(xn, yn, None, self.k, self.dilation)
         else:
@@ -258,6 +350,7 @@ class Grapher(nn.Module):
     use_multi_group: bool = True
     num_group: int = 2
     knn_chunk: int | None = None
+    graph_builder: str = "knn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -269,7 +362,8 @@ class Grapher(nn.Module):
             self.conv, self.act, self.norm, self.use_bias, self.stochastic,
             self.epsilon, self.r,
             num_group=self.num_group if self.use_multi_group else 1,
-            knn_chunk=self.knn_chunk, dtype=self.dtype, name="graph_conv",
+            knn_chunk=self.knn_chunk, graph_builder=self.graph_builder,
+            dtype=self.dtype, name="graph_conv",
         )(x, rel_pos, train)
         x = ConvNorm(self.in_channels, dtype=self.dtype, name="fc2")(x, train)
         x = DropPath(self.drop_path, name="drop_path")(x, deterministic=not train)
@@ -294,6 +388,7 @@ class GrapherLabel(nn.Module):
     drop_path: float = 0.0
     use_multi_group: bool = True
     num_group: int = 2
+    graph_builder: str = "knn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -307,6 +402,7 @@ class GrapherLabel(nn.Module):
             self.conv, self.act, self.norm, self.use_bias, self.stochastic,
             self.epsilon,
             num_group=self.num_group if self.use_multi_group else 1,
+            graph_builder=self.graph_builder,
             dtype=self.dtype, name="graph_conv",
         )(x, feats, train)
         x = ConvNorm(self.in_channels, dtype=self.dtype, name="fc2")(x, train)

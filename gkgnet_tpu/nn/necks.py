@@ -13,6 +13,29 @@ from flax import linen as nn
 Array = jax.Array
 
 
+def build_neck(cfg: dict, dtype=jnp.float32) -> nn.Module:
+    """Neck config -> module (the reference's NECKS registry dispatch)."""
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    cfg.pop("out_indices", None)  # consumed by the classifier
+    table = {
+        "GlobalAveragePooling": GlobalAveragePooling,
+        "MultiLabelProjection": MultiLabelProjection,
+        "HRFuseScales": HRFuseScales,
+        "ChannelMapper": ChannelMapper,
+        "FPN": FPN,
+    }
+    if t not in table:
+        raise ValueError(f"unknown neck type {t}")
+    cls = table[t]
+    if t == "GlobalAveragePooling":
+        # parameterless; out_channels in the cfg only sizes the head
+        cfg.pop("out_channels", None)
+    else:
+        cfg.setdefault("dtype", dtype)
+    return cls(**cfg)
+
+
 class GlobalAveragePooling(nn.Module):
     """GAP over spatial dims (necks/gap.py:9-46); NHWC in, (B, C) out."""
 

@@ -55,17 +55,15 @@ def _pallas_enabled() -> bool:
     if _KNN_IMPL == "xla":
         return False
     # auto: TPU backend, and not under an active graph-axis sharding context
-    # (GSPMD cannot partition the kernel over the query axis; the XLA path
-    # shards cleanly there).
+    # (GSPMD cannot partition the kernel over the query axis; the graph
+    # convs route through the explicit shard_map paths in
+    # parallel/edge_partition.py there, and anything that still reaches
+    # this XLA path shards cleanly under GSPMD).
     try:
-        from gkgnet_tpu.parallel.sharding import _ACTIVE
+        from gkgnet_tpu.parallel.sharding import graph_axis_size
 
-        cfg = _ACTIVE.get()
-        if cfg is not None:
-            mesh = cfg[0]
-            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-            if sizes.get(cfg[2], 1) > 1:
-                return False
+        if graph_axis_size() > 1:
+            return False
     except Exception:
         pass
     return jax.default_backend() in ("tpu", "axon")
@@ -161,7 +159,8 @@ def knn_graph(
             else:
                 b2 = b2[0]
         if (bias is None or b2 is not None) and topk_fits(
-                x.shape[1], y.shape[1], k):
+                x.shape[1], y.shape[1], k, d=x.shape[2],
+                itembytes=jnp.dtype(x.dtype).itemsize):
             return knn_topk(x, y, k=k, bias=b2)
 
     n = x.shape[1]

@@ -38,27 +38,34 @@ def _round_up(x: int, m: int) -> int:
 
 
 # v5e/v5p cores have 128 MiB of physical VMEM; the compiler's default scoped
-# limit is 16 MiB. We raise it per-kernel up to this cap (measured: the
-# stage-1 label kernel needs ~86 MiB and runs fine).
+# limit is 16 MiB. We raise it per-kernel up to this cap.
 _VMEM_CAP = 100 * 1024 * 1024
 
 
-def _scoped_vmem_bytes(tile_t: int, m: int, k: int, dilation: int) -> int:
-    """Empirical scoped-VMEM model for the selection loop: the (T, M) fp32
-    distance buffer stays live across k*d argmin/where rounds and Mosaic
-    allocates roughly one copy per round plus ~4 for iota/mask/onehot
-    (matches the compiler's reported 85.91M at T=80, M=20736, k=9).
-    +2 rounds of headroom for the transposed-gather buffers
-    (row iota (M, T) int32 + one-hot (M, T))."""
-    return (k * dilation + 6) * tile_t * m * 4
+def _scoped_vmem_bytes(tile_t: int, m: int, k: int, dilation: int,
+                       d: int = 0, itembytes: int = 4) -> int:
+    """Scoped-VMEM model. The (T, M) fp32 distance matrix lives in ONE
+    explicit VMEM scratch buffer that the selection loop masks in place and
+    the selection rounds run under fori_loop, so the (T, M)-sized footprint
+    is the scratch + ~3 transient temporaries (iota, where-result, one-hot)
+    — independent of k*d. (Pre-scratch/fori_loop, Mosaic kept one SSA copy
+    of the functional `dist` live per statically-unrolled round: (k*d+6)
+    copies — which is what used to push the stage-1 label kernel past the
+    cap and silently degrade it to XLA.) (T, M)-sized live values: dist
+    scratch, col iota, the distance matmul result, the bool mask + its
+    gather-dtype cast, the where temporary, plus pipeline slack — measured
+    54.55M at T=80, M=20736 bf16 = ~8.2 fp32 copies; the (double-buffered)
+    target tile (M, D) is modeled explicitly."""
+    del k, dilation
+    return int(8.5 * tile_t * m * 4) + 2 * m * d * itembytes
 
 
 def fused_fits(n: int, m: int, k: int, dilation: int = 1,
-               tile_n: int = 256) -> bool:
+               tile_n: int = 256, d: int = 0, itembytes: int = 4) -> bool:
     """Whether the fused kernel's scoped VMEM fits on-chip at these shapes
     (callers fall back to the XLA path otherwise)."""
     t = min(tile_n, _round_up(n, 8))
-    return _scoped_vmem_bytes(t, m, k, dilation) <= _VMEM_CAP
+    return _scoped_vmem_bytes(t, m, k, dilation, d, itembytes) <= _VMEM_CAP
 
 
 def _norm_rows(v):
@@ -66,11 +73,17 @@ def _norm_rows(v):
     return v / jnp.maximum(n, 1e-12)
 
 
-def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
+def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref, *,
             k: int, dilation: int, m_valid: int, has_bias: bool,
             gather_precision, bf16_inputs: bool):
     """x_ref (1, T, D) raw queries; y_ref (1, M, D) raw targets;
-    bias_ref (T, M) or dummy; idx_ref (1, T, k) int32; mr_ref (1, T, D)."""
+    bias_ref (T, M) or dummy; idx_ref (1, T, k) int32; mr_ref (1, T, D);
+    dist_ref (T, M) fp32 VMEM scratch masked in place by the selection
+    loop; mrt_ref (D, T) fp32 scratch for the transposed max-relative
+    accumulator. All selection state lives in scratch refs and the rounds
+    run under ``fori_loop`` — one shared buffer set, so scoped VMEM is
+    O(T*M) instead of the O(k*d*T*M) a static unroll costs (Mosaic keeps
+    every unrolled round's SSA copy live on the stack)."""
     x_in = x_ref[0]
     y_in = y_ref[0]
     x_raw = x_in.astype(jnp.float32)
@@ -107,38 +120,53 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, *,
 
     col = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
     big = jnp.float32(jnp.inf)
-    dist = jnp.where(col < m_valid, dist, big)
+    dist_ref[...] = jnp.where(col < m_valid, dist, big)
 
-    # gather operands in transposed (D, M) x (M, T) layout: output columns
-    # = T (full 128-lane tiles) instead of D=C/groups (=40 at stage 1, which
-    # pads to 128 and wastes 3x MXU throughput). Row one-hots make every
-    # output element a single exact product, so layout/order is bitwise-free.
+    # The (T, M) selection mask doubles as the gather one-hot:
+    # dot_general(mask (T, M), y (M, D)) -> (T, D) picks each query's
+    # selected neighbor row on the MXU. Row one-hots make every output
+    # element a single exact product, so layout/order is bitwise-free, and
+    # reusing the mask avoids a second (M, T) iota/one-hot buffer and any
+    # explicit transposes (a hoisted ``y.T`` trips a Mosaic dead-transpose
+    # RET_CHECK when its only uses sit inside the predicated loop body).
     gdtype = jnp.bfloat16 if bf16_inputs else jnp.float32
-    y_t = y_in.astype(gdtype).T                                 # (D, M)
-    x_t = x_raw.T                                               # (D, T)
-    row_m = jax.lax.broadcasted_iota(jnp.int32, (m, t), 0)
+    y_gd = y_in.astype(gdtype)                                  # (M, D)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
 
-    # statically-unrolled k*d rounds: Mosaic lacks dynamic_update_slice for
-    # a carried index buffer, and static j makes the dilation stride free
-    mr_t = jnp.full((d, t), -jnp.inf, jnp.float32)
-    cols = []
-    for j in range(k * dilation):
+    mrt_ref[...] = jnp.full((t, d), -jnp.inf, jnp.float32)
+    idx_ref[0] = jnp.zeros((t, k), jnp.int32)
+
+    def gather_update(j, idx_j, mask):
+        sel = j // dilation if dilation > 1 else j
+        idx_ref[0] = jnp.where(lane_k == sel, idx_j[:, None], idx_ref[0])
+        gathered = jax.lax.dot_general(                          # (T, D) MXU
+            mask.astype(gdtype), y_gd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=gather_precision,
+        )
+        mrt_ref[...] = jnp.maximum(mrt_ref[...], gathered - x_raw)
+
+    def round_body(j, _):
+        dist = dist_ref[...]
         idx_j = jnp.argmin(dist, axis=1).astype(jnp.int32)       # (T,)
-        mask = col == idx_j[:, None]
-        if j % dilation == 0:  # strided edge subsample (torch_edge.py:146)
-            cols.append(idx_j)
-            onehot_t = (row_m == idx_j[None, :]).astype(gdtype)  # (M, T)
-            gathered_t = jax.lax.dot_general(                    # (D, T) MXU
-                y_t, onehot_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=gather_precision,
-            )
-            mr_t = jnp.maximum(mr_t, gathered_t - x_t)
-        dist = jnp.where(mask, big, dist)
+        mask = col == idx_j[:, None]                             # (T, M)
 
-    idx_ref[0] = jnp.stack(cols, axis=1)
-    mr_ref[0] = mr_t.T.astype(mr_ref.dtype)
+        if dilation > 1:
+            @pl.when(j % dilation == 0)  # strided subsample (torch_edge.py:146)
+            def _():
+                gather_update(j, idx_j, mask)
+        else:
+            gather_update(j, idx_j, mask)
+
+        @pl.when(j != k * dilation - 1)
+        def _():
+            dist_ref[...] = jnp.where(mask, big, dist)
+
+        return 0
+
+    jax.lax.fori_loop(0, k * dilation, round_body, 0)
+    mr_ref[0] = mrt_ref[...].astype(mr_ref.dtype)
 
 
 def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
@@ -171,9 +199,12 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
     bf16_inputs = x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16
     gather_precision = (jax.lax.Precision.DEFAULT if bf16_inputs
                         else jax.lax.Precision.HIGHEST)
+    itembytes = 2 if bf16_inputs else 4
     vmem_limit = min(_VMEM_CAP,
                      max(16 * 1024 * 1024,
-                         int(_scoped_vmem_bytes(tile_n, m, k, dilation) * 1.4)))
+                         int(_scoped_vmem_bytes(tile_n, m, k, dilation,
+                                                d, itembytes) * 1.25)
+                         + 2 * 1024 * 1024))
 
     kd = k * dilation
     idx, mr = pl.pallas_call(
@@ -199,6 +230,8 @@ def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
             jax.ShapeDtypeStruct((bg, n_pad, k), jnp.int32),
             jax.ShapeDtypeStruct((bg, n_pad, d), x.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((tile_n, m), jnp.float32),
+                        pltpu.VMEM((tile_n, d), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bg * n_pad * m * d * (1 + k) + 3 * kd * bg * n_pad * m,

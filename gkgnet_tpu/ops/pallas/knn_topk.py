@@ -36,34 +36,57 @@ def _round_up(x: int, m: int) -> int:
 _VMEM_CAP = 100 * 1024 * 1024  # v5e/v5p physical VMEM is 128 MiB
 
 
-def _scoped_vmem_bytes(tile_t: int, m: int, k: int) -> int:
-    """Scoped-VMEM model (see knn_mr._scoped_vmem_bytes): one live (T, M)
-    fp32 copy per selection round plus iota/mask overhead."""
-    return (k + 4) * tile_t * m * 4
+def _scoped_vmem_bytes(tile_t: int, m: int, k: int,
+                       d: int = 0, itembytes: int = 4) -> int:
+    """Scoped-VMEM model (see knn_mr._scoped_vmem_bytes): the (T, M) fp32
+    distance matrix lives in one explicit scratch buffer masked in place
+    under a fori_loop, so usage is O(T*M) independent of k, plus the
+    (M, D) target tile (double-buffered by the pipeline: measured 79.39M =
+    2*26.5M(y) + 4*6.6M(dist) at T=80, M=20736, D=320 fp32)."""
+    del k
+    return 5 * tile_t * m * 4 + 2 * m * d * itembytes
 
 
-def topk_fits(n: int, m: int, k: int, tile_n: int = 256) -> bool:
+def topk_fits(n: int, m: int, k: int, tile_n: int = 256,
+              d: int = 0, itembytes: int = 4) -> bool:
     t = min(tile_n, _round_up(n, 8))
-    return _scoped_vmem_bytes(t, m, k) <= _VMEM_CAP
+    return _scoped_vmem_bytes(t, m, k, d, itembytes) <= _VMEM_CAP
 
 
-def _topk_from_dist(dist, out_ref, k: int, m_valid: int):
-    """Iterative masked argmin: k statically-unrolled rounds over the
-    (T, M) tile; smallest index wins ties (torch.topk order). Writes
-    (T, k) int32 to out_ref[0]. (Static unroll: Mosaic has no
-    dynamic_update_slice for the carry, and static lane indices store
-    directly.)"""
+def _topk_from_dist(dist, out_ref, dist_ref, k: int, m_valid: int,
+                    val_ref=None):
+    """Iterative masked argmin: k rounds over the (T, M) tile; smallest
+    index wins ties (torch.topk order). Writes (T, k) int32 to out_ref[0]
+    (and the selected distances to val_ref[0] when given — used by the
+    ring-merge of the edge-partitioned path). The rounds run under
+    ``fori_loop`` with the distance matrix masked in place in the dist_ref
+    VMEM scratch and the selected indices accumulated into out_ref by a
+    masked lane write — one shared buffer set, so scoped VMEM stays O(T*M)
+    (a static unroll makes Mosaic keep every round's SSA copy live)."""
     t, m = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
     big = jnp.float32(jnp.inf)
-    dist = jnp.where(col < m_valid, dist, big)
+    dist_ref[...] = jnp.where(col < m_valid, dist, big)
+    out_ref[0] = jnp.zeros((t, k), jnp.int32)
+    if val_ref is not None:
+        val_ref[0] = jnp.full((t, k), big)
 
-    cols = []
-    for _ in range(k):
-        idx_j = jnp.argmin(dist, axis=1).astype(jnp.int32)     # (T,) first-min
-        cols.append(idx_j)
-        dist = jnp.where(col == idx_j[:, None], big, dist)
-    out_ref[0] = jnp.stack(cols, axis=1)
+    def round_body(j, _):
+        d = dist_ref[...]
+        idx_j = jnp.argmin(d, axis=1).astype(jnp.int32)        # (T,) first-min
+        out_ref[0] = jnp.where(lane_k == j, idx_j[:, None], out_ref[0])
+        if val_ref is not None:
+            v_j = jnp.min(d, axis=1)
+            val_ref[0] = jnp.where(lane_k == j, v_j[:, None], val_ref[0])
+
+        @pl.when(j != k - 1)
+        def _():
+            dist_ref[...] = jnp.where(col == idx_j[:, None], big, d)
+
+        return 0
+
+    jax.lax.fori_loop(0, k, round_body, 0)
 
 
 def _dist_tile(x, y):
@@ -85,17 +108,30 @@ def _dist_tile(x, y):
     return x_sq - 2.0 * inner + y_sq.T
 
 
-def _knn_kernel_bias(x_ref, y_ref, bias_ref, out_ref, *, k, m_valid):
+def _knn_kernel_bias(x_ref, y_ref, bias_ref, out_ref, dist_ref, *, k, m_valid):
     dist = _dist_tile(x_ref[0], y_ref[0]) + bias_ref[...]
-    _topk_from_dist(dist, out_ref, k, m_valid)
+    _topk_from_dist(dist, out_ref, dist_ref, k, m_valid)
 
 
-def _knn_kernel_nobias(x_ref, y_ref, out_ref, *, k, m_valid):
+def _knn_kernel_nobias(x_ref, y_ref, out_ref, dist_ref, *, k, m_valid):
     dist = _dist_tile(x_ref[0], y_ref[0])
-    _topk_from_dist(dist, out_ref, k, m_valid)
+    _topk_from_dist(dist, out_ref, dist_ref, k, m_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def _knn_kernel_bias_vals(x_ref, y_ref, bias_ref, out_ref, val_out_ref,
+                          dist_ref, *, k, m_valid):
+    dist = _dist_tile(x_ref[0], y_ref[0]) + bias_ref[...]
+    _topk_from_dist(dist, out_ref, dist_ref, k, m_valid, val_ref=val_out_ref)
+
+
+def _knn_kernel_nobias_vals(x_ref, y_ref, out_ref, val_out_ref, dist_ref, *,
+                            k, m_valid):
+    dist = _dist_tile(x_ref[0], y_ref[0])
+    _topk_from_dist(dist, out_ref, dist_ref, k, m_valid, val_ref=val_out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret",
+                                              "return_values"))
 def knn_topk(
     x: Array,
     y: Array,
@@ -104,6 +140,7 @@ def knn_topk(
     bias: Array | None = None,
     tile_n: int = 256,
     interpret: bool = False,
+    return_values: bool = False,
 ) -> Array:
     """k nearest targets per query by squared L2 distance (+bias).
 
@@ -112,8 +149,10 @@ def knn_topk(
       y: (BG, M, D) targets.
       bias: optional (N, M) additive bias (broadcast over batch).
       k: neighbors (static).
+      return_values: also return the selected distances (BG, N, k) fp32 —
+        needed by the edge-partitioned ring merge.
     Returns:
-      (BG, N, k) int32 indices into M.
+      (BG, N, k) int32 indices into M (or (idx, dists) with return_values).
     """
     bg, n, d = x.shape
     m = y.shape[1]
@@ -140,31 +179,52 @@ def knn_topk(
         bytes_accessed=bg * (n_pad * d + m * d) * 4 + n_pad * m * 4,
         transcendentals=0,
     )
+    itembytes = 2 if x.dtype == jnp.bfloat16 else 4
     params = pltpu.CompilerParams(vmem_limit_bytes=min(
         _VMEM_CAP,
-        max(16 * 1024 * 1024, int(_scoped_vmem_bytes(tile_n, m, k) * 1.4))))
+        max(16 * 1024 * 1024,
+            int(_scoped_vmem_bytes(tile_n, m, k, d, itembytes) * 1.25)
+            + 2 * 1024 * 1024)))
+
+    if return_values:
+        out_specs = [out_spec,
+                     pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct((bg, n_pad, k), jnp.float32)]
+        kern_bias, kern_nobias = _knn_kernel_bias_vals, _knn_kernel_nobias_vals
+    else:
+        out_specs, out_shapes = out_spec, out_shape
+        kern_bias, kern_nobias = _knn_kernel_bias, _knn_kernel_nobias
 
     if bias is not None:
         bias2 = bias.astype(jnp.float32)
         if n_pad != n:
             bias2 = jnp.pad(bias2, ((0, n_pad - n), (0, 0)))
         out = pl.pallas_call(
-            functools.partial(_knn_kernel_bias, k=k, m_valid=m),
+            functools.partial(kern_bias, k=k, m_valid=m),
             grid=grid,
             in_specs=[x_spec, y_spec,
                       pl.BlockSpec((tile_n, m), lambda b, i: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=out_spec, out_shape=out_shape,
+            out_specs=out_specs, out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((tile_n, m), jnp.float32)],
             interpret=interpret, cost_estimate=cost,
             compiler_params=params,
         )(x, y, bias2)
     else:
         out = pl.pallas_call(
-            functools.partial(_knn_kernel_nobias, k=k, m_valid=m),
+            functools.partial(kern_nobias, k=k, m_valid=m),
             grid=grid,
             in_specs=[x_spec, y_spec],
-            out_specs=out_spec, out_shape=out_shape,
+            out_specs=out_specs, out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((tile_n, m), jnp.float32)],
             interpret=interpret, cost_estimate=cost,
             compiler_params=params,
         )(x, y)
+    if return_values:
+        idx, vals = out
+        if n_pad != n:
+            idx, vals = idx[:, :n], vals[:, :n]
+        return idx, vals
     return out[:, :n] if n_pad != n else out

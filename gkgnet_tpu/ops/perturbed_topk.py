@@ -87,5 +87,8 @@ def soft_knn_gather(x: Array, y: Array, k: int, *, num_samples: int = 20,
         ind = perturbed_topk(-dist, kd, num_samples, sigma, rng)
     else:
         ind = hard_topk_indicator(-dist, kd)
-    x_j = jnp.einsum("bmkn,bnc->bmkc", ind, y.astype(jnp.float32))
+    # the reference einsums against the NORMALIZED targets (y is rebound to
+    # F.normalize(y) before xy_dense_knn_matrix_differentiable,
+    # torch_edge.py:193-199)
+    x_j = jnp.einsum("bmkn,bnc->bmkc", ind, yn.astype(jnp.float32))
     return x_j[:, :, ::dilation, :]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 from contextvars import ContextVar
+from typing import NamedTuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -29,13 +30,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _ACTIVE: ContextVar = ContextVar("graph_sharding_cfg", default=None)
 
 
+class GraphShardingCfg(NamedTuple):
+    mesh: Mesh
+    data_axis: str
+    graph_axis: str
+    # ring-overlap schedule for the edge-partitioned kNN (ppermute of
+    # target shards overlapped with local selection) vs one all_gather
+    overlap: bool = True
+
+
 @contextmanager
-def graph_sharding(mesh: Mesh, data_axis: str = "data", graph_axis: str = "graph"):
-    token = _ACTIVE.set((mesh, data_axis, graph_axis))
+def graph_sharding(mesh: Mesh, data_axis: str = "data",
+                   graph_axis: str = "graph", overlap: bool = True):
+    token = _ACTIVE.set(GraphShardingCfg(mesh, data_axis, graph_axis, overlap))
     try:
         yield
     finally:
         _ACTIVE.reset(token)
+
+
+def active_graph_cfg() -> GraphShardingCfg | None:
+    return _ACTIVE.get()
+
+
+def graph_axis_size() -> int:
+    cfg = _ACTIVE.get()
+    if cfg is None:
+        return 1
+    sizes = dict(zip(cfg.mesh.axis_names, cfg.mesh.devices.shape))
+    return sizes.get(cfg.graph_axis, 1)
+
+
+def data_axis_size() -> int:
+    cfg = _ACTIVE.get()
+    if cfg is None:
+        return 1
+    sizes = dict(zip(cfg.mesh.axis_names, cfg.mesh.devices.shape))
+    return sizes.get(cfg.data_axis, 1)
 
 
 def _constraint(mesh, spec):
@@ -54,7 +85,7 @@ def shard_nodes(x, kind: str):
     cfg = _ACTIVE.get()
     if cfg is None or x is None:
         return x
-    mesh, data_axis, graph_axis = cfg
+    mesh, data_axis, graph_axis = cfg.mesh, cfg.data_axis, cfg.graph_axis
     if kind == "queries" or kind == "edges":
         spec = P(data_axis, graph_axis, None)
     elif kind == "targets":

@@ -112,3 +112,79 @@ def test_batchnorm_axis_name_is_global_bn():
     np.testing.assert_allclose(
         np.asarray(var), np.asarray(want_stats["batch_stats"]["var"]),
         rtol=1e-4)
+
+
+def test_ring_overlap_matches_gather(mesh):
+    """ppermute-ring schedule == all_gather schedule == unsharded, incl.
+    (distance, index) tie order and the relative-pos bias slice."""
+    rng = np.random.default_rng(5)
+    bg, n, m, c, k, d = 4, 64, 32, 16, 3, 2
+    x = jnp.asarray(rng.standard_normal((bg, n, c)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((bg, m, c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((n, m)) * 0.1, jnp.float32)
+
+    ref_idx = dilate_edges(knn_graph(x, y, k=k * d, bias=bias), dilation=d)
+    ref_mr = max_relative(x, ref_idx, y)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "graph", None)))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data", "graph", None)))
+    bs = jax.device_put(bias, NamedSharding(mesh, P("graph", None)))
+    idx, mr = jax.jit(
+        lambda x_, y_, b_: edge_partitioned_knn_mr(
+            mesh, x_, y_, b_, k=k, dilation=d, overlap=True))(xs, ys, bs)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ring_overlap_self_knn_no_bias(mesh):
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 32, 8)), jnp.float32)
+    ref_idx = knn_graph(x, None, k=4)
+    ref_mr = max_relative(x, ref_idx)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "graph", None)))
+    idx, mr = jax.jit(
+        lambda x_: edge_partitioned_knn_mr(mesh, x_, None, None, k=4,
+                                           overlap=True))(xs)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr), atol=1e-5)
+
+
+def test_ring_overlap_pallas_interpret(mesh):
+    """The Pallas kernels inside the shard_map ring (interpret mode on the
+    CPU mesh) match the XLA path bitwise."""
+    rng = np.random.default_rng(7)
+    bg, n, m, c, k = 2, 16, 16, 8, 3
+    x = jnp.asarray(rng.standard_normal((bg, n, c)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((bg, m, c)), jnp.float32)
+    ref_idx = knn_graph(x, y, k=k)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "graph", None)))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data", "graph", None)))
+    idx, _ = jax.jit(
+        lambda x_, y_: edge_partitioned_knn_mr(
+            mesh, x_, y_, None, k=k, overlap=True, use_pallas=True))(xs, ys)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_model_graph4_shard_map_matches_single_device(mesh):
+    """Full model forward on the graph=4 mesh — now routed through the
+    explicit shard_map edge-partitioned paths (VERDICT round-1 item 3) —
+    matches the unsharded forward."""
+    from gkgnet_tpu.nn.classifier import GKGNetClassifier
+
+    model = GKGNetClassifier(arch="t", k=3, k_label_gcn=3, n_classes=10,
+                             size=128)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((2, 128, 128, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref, _ = model.apply(variables, x, train=False)
+
+    sharded_vars = jax.device_put(variables, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    for overlap in (False, True):
+        with graph_sharding(mesh, overlap=overlap):
+            got, _ = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
+                sharded_vars, xs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=f"overlap={overlap}")

@@ -62,8 +62,10 @@ def test_soft_knn_gather_eval_matches_hard_gather():
     y = jnp.asarray(rng.standard_normal((2, 14, 5)), jnp.float32)
     got = np.asarray(soft_knn_gather(x, y, k=3, training=False))
     from gkgnet_tpu.ops.aggregate import gather_nodes
-    from gkgnet_tpu.ops.knn import knn_graph
+    from gkgnet_tpu.ops.knn import knn_graph, l2_normalize
 
     idx = np.sort(np.asarray(knn_graph(x, y, k=3)), axis=-1)
-    want = np.asarray(gather_nodes(y, jnp.asarray(idx)))
+    # the reference einsums the soft indicator against the NORMALIZED
+    # targets (torch_edge.py:193-199)
+    want = np.asarray(gather_nodes(l2_normalize(y), jnp.asarray(idx)))
     np.testing.assert_allclose(got, want, atol=1e-5)

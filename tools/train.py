@@ -108,7 +108,8 @@ def main():
     train_loader = build_dataloader(
         train_ds, local_batch, cfg.data.get("workers", 8),
         num_replicas=world, rank=rank, shuffle=True,
-        sampler=sampler_type, seed=seed, drop_last=True)
+        sampler=sampler_type, seed=seed, drop_last=True,
+        mode=cfg.data.get("loader_mode", "threads"))
     steps_per_epoch = len(train_loader)
     logger.info(f"train dataset: {len(train_ds)} samples, "
                 f"{steps_per_epoch} steps/epoch, global batch {global_batch}")
@@ -155,12 +156,27 @@ def main():
 
     state = replicate_state(state, mesh)
     ema_cfg = cfg.get("ema", {})
+    ema_on = bool(args.ema or ema_cfg.get("enabled"))
+    # batch-level mixup/cutmix from train_cfg.augments
+    # (reference classifiers/image.py:56-77)
+    from gkgnet_tpu.nn.augment import build_batch_augment
+    batch_augment = build_batch_augment(
+        cfg.get("model", {}).get("train_cfg", {}).get("augments"))
     train_step = make_train_step(
         model, tx, lr_schedule=lr_schedule,
         ema_momentum=ema_cfg.get("momentum", 2e-4),
         ema_warmup=ema_cfg.get("warmup", 100),
-        dynamic_loss_scale=dyn_scale)
+        dynamic_loss_scale=dyn_scale,
+        batch_augment=batch_augment)
     eval_step = make_eval_step(model)
+    # with EMA on, the EvalHook is effectively double-registered
+    # (reference apis/train.py:187-207): raw and EMA weights both scored
+    eval_step_ema = make_eval_step(model, use_ema=True) if ema_on else None
+
+    tb = None
+    if cfg.get("log_config", {}).get("tensorboard") and rank == 0:
+        from gkgnet_tpu.utils.tensorboard import TensorboardWriter
+        tb = TensorboardWriter(os.path.join(work_dir, "tf_logs"))
 
     # ------------------------------------------------------------------ loop
     max_epochs = cfg["runner"]["max_epochs"]
@@ -189,22 +205,42 @@ def main():
                     logger.info(f"Epoch [{epoch + 1}/{max_epochs}]"
                                 f"[{it + 1}/{steps_per_epoch}] {msg}")
                     jlog.write("train", epoch + 1, it + 1, avg)
+                    if tb is not None:
+                        tb.add_scalars(avg, epoch * steps_per_epoch + it + 1,
+                                       prefix="train/")
+                        tb.flush()
                 t_data = time.perf_counter()
 
             if val_ds is not None and (epoch + 1) % eval_interval == 0:
                 scores = run_eval(val_ds, eval_step, state, local_batch,
                                   cfg, mesh, world, rank)
+                scores_ema = None
+                if eval_step_ema is not None:
+                    scores_ema = run_eval(val_ds, eval_step_ema, state,
+                                          local_batch, cfg, mesh, world, rank)
                 if rank == 0:
                     metrics_dict = val_ds.evaluate(scores, logger=logger)
-                    jlog.write("val", epoch + 1, steps_per_epoch, metrics_dict)
                     key = cfg.get("evaluation", {}).get("save_best", "mAP")
-                    if metrics_dict.get(key, -1) > best_metric:
-                        best_metric = metrics_dict[key]
+                    candidates = [(metrics_dict.get(key, -1), "raw")]
+                    if scores_ema is not None:
+                        ema_metrics = val_ds.evaluate(scores_ema, logger=logger)
+                        metrics_dict.update(
+                            {f"{k}_ema": v for k, v in ema_metrics.items()})
+                        candidates.append((ema_metrics.get(key, -1), "ema"))
+                    jlog.write("val", epoch + 1, steps_per_epoch, metrics_dict)
+                    if tb is not None:
+                        tb.add_scalars(metrics_dict, epoch + 1, prefix="val/")
+                        tb.flush()
+                    score, source = max(candidates)
+                    if score > best_metric:
+                        best_metric = score
                         best_epoch = epoch + 1
                         save_checkpoint(os.path.join(work_dir, "best"),
                                         jax.device_get(state), epoch + 1,
-                                        {"metric": best_metric})
-                        logger.info(f"new best {key}={best_metric:.4f}")
+                                        {"metric": best_metric,
+                                         "weights": source})
+                        logger.info(
+                            f"new best {key}={best_metric:.4f} ({source})")
 
             if (epoch + 1) % ckpt_interval == 0 and rank == 0:
                 save_checkpoint(
