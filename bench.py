@@ -200,27 +200,31 @@ def bench_loader(batch: int) -> float:
     ])
     ds = CocoMultiLabel(ann_file=ann_file, data_prefix=tmp,
                         pipeline=pipeline)
-    workers = int(os.environ.get("BENCH_LOADER_WORKERS", "8"))
-    loader = build_dataloader(ds, batch, workers, num_replicas=1, rank=0,
-                              shuffle=True, seed=0, drop_last=True)
-    # warmup epoch then timed epochs
-    loader.set_epoch(0)
-    for _ in loader:
-        pass
-    t0 = time.perf_counter()
-    n = 0
-    epochs = 4
-    for e in range(1, 1 + epochs):
-        loader.set_epoch(e)
-        for b in loader:
-            n += b["img"].shape[0]
-    dt = time.perf_counter() - t0
-    ips = n / dt
-    print(f"loader: {ips:.1f} img/s (host aug pipeline, {workers} workers, "
-          f"{n} imgs)", file=sys.stderr)
+    workers = int(os.environ.get("BENCH_LOADER_WORKERS",
+                                 str(min(16, os.cpu_count() or 8))))
+    best = 0.0
+    for mode in ("threads", "processes"):
+        loader = build_dataloader(ds, batch, workers, num_replicas=1, rank=0,
+                                  shuffle=True, seed=0, drop_last=True,
+                                  mode=mode)
+        loader.set_epoch(0)  # warmup epoch (spawns the pool)
+        for _ in loader:
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for e in range(1, 5):
+            loader.set_epoch(e)
+            for b in loader:
+                n += b["img"].shape[0]
+        dt = time.perf_counter() - t0
+        ips = n / dt
+        print(f"loader[{mode}]: {ips:.1f} img/s (host aug pipeline, "
+              f"{workers} workers, {n} imgs)", file=sys.stderr)
+        loader.close()
+        best = max(best, ips)
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
-    return ips
+    return best
 
 
 def main():

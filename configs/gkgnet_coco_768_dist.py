@@ -1,8 +1,10 @@
 # GKGNet-S high-res 768^2 with larger k, edge-partitioned across hosts
 # (BASELINE.json config 5): the (data x graph) mesh splits each image's
-# k-NN candidate/edge set over the 'graph' axis; target features are
-# all-gathered over ICI inside the partitioned kNN (parallel/edge_partition.py)
-# and merged with a global top-k, overlapping exchange with local aggregation.
+# query-node/edge set over the 'graph' axis. With graph>1 the graph convs
+# route through the explicit shard_map paths (parallel/edge_partition.py):
+# target shards travel a ppermute ring whose ICI transfer overlaps the
+# local fused distance+top-k, with an exact (distance, index) running
+# merge — or a single all_gather with mesh=dict(..., overlap=False).
 _base_ = ["gkgnet_coco_576.py"]
 
 work_dir = "./work_dirs/gkgnet_coco_768_dist"

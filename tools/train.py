@@ -187,7 +187,7 @@ def main():
     meter = ScalarMeter()
     base_rng = jax.random.PRNGKey(seed + 1)
 
-    with graph_sharding(mesh):
+    with graph_sharding(mesh, overlap=mesh_cfg.get("overlap", True)):
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
             t_data = time.perf_counter()
