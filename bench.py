@@ -54,11 +54,11 @@ def bench_eval(batch: int, iters: int, knn_impl: str) -> float:
     def make_fwd():
         # iterate ON DEVICE (lax.scan): a single dispatch per measurement.
         # Remote TPU tunnels add ~25-90 ms of fixed dispatch+readback
-        # overhead PER CALL (measured), which at ~10 ms/step of real device
-        # time would understate throughput ~8x. The scanned epsilon is a
-        # RUNTIME argument (zeros at call time): were it a traced constant,
-        # XLA would fold x+0 and hoist the whole body out of the loop
-        # (observed: a "174% MFU" bench).
+        # overhead PER CALL (measured); the two-point measurement below
+        # (t(3N) - t(N)) cancels what remains of it. The scanned epsilon
+        # is a RUNTIME argument (zeros at call time): were it a traced
+        # constant, XLA would fold x+0 and hoist the whole body out of
+        # the loop (observed: a "174% MFU" bench).
         @jax.jit
         def fwd(variables, x, eps):
             def body(c, e):
@@ -67,14 +67,14 @@ def bench_eval(batch: int, iters: int, knn_impl: str) -> float:
 
             return jax.lax.scan(body, jnp.float32(0), eps)[0]
 
-        return lambda v, xx: fwd(v, xx, jnp.zeros((iters,), xx.dtype))
+        return lambda v, xx, n: fwd(v, xx, jnp.zeros((n,), xx.dtype))
 
     fwd = make_fwd()
     print("compile ...", file=sys.stderr)
     # Force a host readback: through remote-execution tunnels
     # block_until_ready can return at dispatch time.
     try:
-        np.asarray(fwd(variables, x))
+        np.asarray(fwd(variables, x, iters))
     except Exception as e:
         if knn_impl == "xla":
             raise
@@ -83,14 +83,18 @@ def bench_eval(batch: int, iters: int, knn_impl: str) -> float:
         knn_impl = "xla"
         set_knn_impl("xla")
         fwd = make_fwd()
-        np.asarray(fwd(variables, x))
+        np.asarray(fwd(variables, x, iters))
 
-    t0 = time.perf_counter()
-    np.asarray(fwd(variables, x))
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
-    eps = model_edge_count("s", 576, batch) * iters / dt
-    print(f"eval: {ips:.2f} img/s (batch={batch}, {dt/iters*1e3:.1f} ms/it, "
+    def timed(n):
+        np.asarray(fwd(variables, x, n))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(fwd(variables, x, n))
+        return time.perf_counter() - t0
+
+    dt = (timed(3 * iters) - timed(iters)) / (2 * iters)
+    ips = batch / dt
+    eps = model_edge_count("s", 576, batch) / dt
+    print(f"eval: {ips:.2f} img/s (batch={batch}, {dt*1e3:.1f} ms/it, "
           f"knn={knn_impl}, {eps/1e6:.1f}M edges/s)", file=sys.stderr)
     print("eval: " + mfu_line(ips, "s", 576), file=sys.stderr)
     return ips
@@ -128,25 +132,29 @@ def bench_train(batch: int, iters: int, knn_impl: str) -> float:
     rng = jax.random.PRNGKey(1)
 
     @jax.jit
-    def run_steps(state):
+    def run_steps(state, n_arr):
         # on-device iteration: one dispatch for the whole measurement
         # (state advances every step, so the body is loop-variant)
         def body(st, _):
             st, logs = train_step(st, batch_dict, rng)
             return st, logs["loss"]
 
-        return jax.lax.scan(body, state, None, length=iters)
+        return jax.lax.scan(body, state, n_arr)
 
     print("train compile ...", file=sys.stderr)
-    state2, losses = run_steps(state)
-    np.asarray(losses[-1])
-    t0 = time.perf_counter()
-    _, losses = run_steps(state)
-    np.asarray(losses[-1])
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
-    eps = model_edge_count("s", 576, batch) * iters / dt
-    print(f"train: {ips:.2f} img/s ({dt/iters*1e3:.1f} ms/step, "
+
+    def timed(n):
+        _, losses = run_steps(state, jnp.zeros((n,)))
+        np.asarray(losses[-1])  # compile + warm
+        t0 = time.perf_counter()
+        _, losses = run_steps(state, jnp.zeros((n,)))
+        np.asarray(losses[-1])
+        return time.perf_counter() - t0
+
+    dt = (timed(3 * iters) - timed(iters)) / (2 * iters)
+    ips = batch / dt
+    eps = model_edge_count("s", 576, batch) / dt
+    print(f"train: {ips:.2f} img/s ({dt*1e3:.1f} ms/step, "
           f"{eps/1e6:.1f}M edges/s)", file=sys.stderr)
     # train executes ~3x the forward flops (fwd + bwd wrt acts + wrt params)
     from gkgnet_tpu.utils.profiling import model_flops
@@ -247,15 +255,17 @@ def main():
         return
 
     ips = bench_eval(batch, iters, knn_impl)
+    extras = {}
     if mode == "all" and not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
-            bench_train(batch, iters, knn_impl)
+            extras["train_img_per_sec"] = round(
+                bench_train(batch, iters, knn_impl), 2)
         except Exception as e:
             print(f"train bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     if mode == "all" and not os.environ.get("BENCH_SKIP_LOADER"):
         try:
-            bench_loader(batch)
+            extras["loader_img_per_sec"] = round(bench_loader(batch), 2)
         except Exception as e:
             print(f"loader bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -275,6 +285,7 @@ def main():
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / base, 4),
+        **extras,
     }))
 
 

@@ -87,21 +87,19 @@ def pairwise_sqdist(x: Array, y: Array) -> Array:
     """
     x = jax.lax.stop_gradient(x)
     y = jax.lax.stop_gradient(y)
-    if x.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16:
-        # single DEFAULT bf16 MXU pass: bitwise equal to the fp32 HIGHEST
-        # 6-pass dot on bf16-valued operands (correction passes are exact
-        # zeros) at 1/6 the MXU work
-        xd, yd = x, y
-        precision = jax.lax.Precision.DEFAULT
-    else:
-        xd = x.astype(jnp.float32)
-        yd = y.astype(jnp.float32)
-        precision = jax.lax.Precision.HIGHEST
+    # Always fp32 operands + HIGHEST here. A bf16 DEFAULT dot with
+    # preferred_element_type=fp32 *should* be exactly fp32-accumulated (and
+    # is, inside the Pallas kernels — verified against an fp64 oracle,
+    # tools/exp_kernel_phases.py), but the XLA TPU lowering of this
+    # (non-Pallas) path was measured rounding the accumulation to bf16:
+    # neighbor orderings violated fp64 truth across gaps up to 3.4e-3
+    # (bf16 ulp scale) in ~20% of rows. This path is the correctness
+    # fallback/oracle, so it pays the 6-pass fp32 dot.
     inner = jax.lax.dot_general(
-        xd, yd,
+        x.astype(jnp.float32), y.astype(jnp.float32),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=precision,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, N, M)
     x32 = x.astype(jnp.float32)
     y32 = y.astype(jnp.float32)

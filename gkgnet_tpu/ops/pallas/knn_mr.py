@@ -44,20 +44,35 @@ _VMEM_CAP = 100 * 1024 * 1024
 
 def _scoped_vmem_bytes(tile_t: int, m: int, k: int, dilation: int,
                        d: int = 0, itembytes: int = 4) -> int:
-    """Scoped-VMEM model. The (T, M) fp32 distance matrix lives in ONE
-    explicit VMEM scratch buffer that the selection loop masks in place and
-    the selection rounds run under fori_loop, so the (T, M)-sized footprint
-    is the scratch + ~3 transient temporaries (iota, where-result, one-hot)
-    — independent of k*d. (Pre-scratch/fori_loop, Mosaic kept one SSA copy
-    of the functional `dist` live per statically-unrolled round: (k*d+6)
-    copies — which is what used to push the stage-1 label kernel past the
-    cap and silently degrade it to XLA.) (T, M)-sized live values: dist
-    scratch, col iota, the distance matmul result, the bool mask + its
-    gather-dtype cast, the where temporary, plus pipeline slack — measured
-    54.55M at T=80, M=20736 bf16 = ~8.2 fp32 copies; the (double-buffered)
-    target tile (M, D) is modeled explicitly."""
+    """Scoped-VMEM model for the masked-argmin kernel. The (T, M) fp32
+    distance matrix lives in ONE explicit VMEM scratch buffer that the
+    selection loop masks in place and the selection rounds run under
+    fori_loop, so the (T, M)-sized footprint is the scratch + ~3 transient
+    temporaries (iota, where-result, one-hot) — independent of k*d.
+    (Pre-scratch/fori_loop, Mosaic kept one SSA copy of the functional
+    `dist` live per statically-unrolled round: (k*d+6) copies — which is
+    what used to push the stage-1 label kernel past the cap and silently
+    degrade it to XLA.) (T, M)-sized live values: dist scratch, col iota,
+    the distance matmul result, the bool mask + its gather-dtype cast, the
+    where temporary, plus pipeline slack — measured 54.55M at T=80,
+    M=20736 bf16 = ~8.2 fp32 copies; the (double-buffered) target tile
+    (M, D) is modeled explicitly."""
     del k, dilation
     return int(8.5 * tile_t * m * 4) + 2 * m * d * itembytes
+
+
+def _scoped_vmem_bytes_foldv(tile_t: int, m_pad: int, cache_c: int,
+                             d: int = 0, itembytes: int = 4) -> int:
+    """Scoped-VMEM model for the foldv kernel. The round loop streams the
+    eq-compare/gather in 4096-column chunks, so its transients are bounded;
+    the binding term is the exact argmin EPILOGUE, which keeps ~4 full
+    (T, M) fp32 values live (dist scratch + read copy + where temporaries)
+    — measured 57.7M at T=80, M=20736 pre-chunking (~8.7 copies) with the
+    unchunked round loop as the peak."""
+    big = 7.0 * 4 * tile_t * m_pad
+    small = (cache_c + 6) * 128 * tile_t * 4 + 2 * tile_t * d * 4 \
+        + 3 * tile_t * min(m_pad, 4096) * 4
+    return int(big) + small + 2 * m_pad * d * itembytes + m_pad * 32
 
 
 def fused_fits(n: int, m: int, k: int, dilation: int = 1,
@@ -65,6 +80,10 @@ def fused_fits(n: int, m: int, k: int, dilation: int = 1,
     """Whether the fused kernel's scoped VMEM fits on-chip at these shapes
     (callers fall back to the XLA path otherwise)."""
     t = min(tile_n, _round_up(n, 8))
+    if _use_foldv(m):
+        return _scoped_vmem_bytes_foldv(
+            t, _round_up(m, 128), _cache_depth(k * dilation), d,
+            itembytes) <= _VMEM_CAP
     return _scoped_vmem_bytes(t, m, k, dilation, d, itembytes) <= _VMEM_CAP
 
 
@@ -177,62 +196,79 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref, *,
 
 
 def _cache_depth(kd: int) -> int:
-    """Per-lane cache depth for the foldc selector: deep enough that a
-    lane-class overflow (> C of the global top-k*d sharing one column class
-    mod 128) is rare. P(row overflows) ~ C(kd, C+1)/128^C: kd=9,C=2 ->
-    0.5%; kd=18,C=3 -> 0.15%; kd=27,C=4 -> 0.03%. Overflowed rows are
-    flagged and exactly recomputed by the repair epilogue."""
+    """Per-lane cache depth for the foldv selector. A row falls back to the
+    exact in-kernel epilogue when > C of its global top-k*d share one column
+    class mod 128; the epilogue reruns the whole TILE, so the depth is sized
+    for a low *tile* rate: P(row) ~ C(kd, C+1)/128^C -> kd=9,C=3: 6e-5;
+    kd=18,C=4: 3e-5; kd=27,C=5: 9e-6 (x256 rows/tile: ~2%, ~1%, ~0.2%).
+    Real node grids collide far less: spatial neighbors sit in distinct
+    lane classes (adjacent columns / +-grid-width offsets mod 128)."""
     if kd <= 9:
-        return 2
-    if kd <= 18:
         return 3
-    return 4
+    if kd <= 18:
+        return 4
+    return 5
 
 
-def _kernel_foldc(x_ref, y_ref, bias_ref, idx_ref, mr_ref, flag_ref,
-                  dist_ref, mrt_ref, mv_ref, mc_ref, bnd_ref, used_ref,
+def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
+                  dist_ref, mrt_ref, mv_ref, bnd_ref, hd_ref, used_ref,
                   flg_ref, *,
                   k: int, dilation: int, m_valid: int, has_bias: bool,
-                  gather_precision, bf16_inputs: bool, cache_c: int):
-    """foldc selection: top-(k*d) via a per-lane-class sorted top-C cache
-    plus per-row exactness flags (NO in-kernel refold).
+                  gather_precision, bf16_inputs: bool, cache_c: int,
+                  batched_bias: bool = False):
+    """foldv selection: values-only per-lane-class sorted top-C cache, with
+    winner columns recovered by an equality compare against the retained
+    distance matrix, and an exact in-kernel argmin epilogue for flagged
+    tiles.
 
-    The masked-argmin loop costs ~5.5 VPU ops/element/round over the full
-    (T, M) tile — k*d rescans of M candidates. Here the (T, M) distance
-    matrix is folded ONCE into a per-lane-class cache: for each of the 128
-    lane classes (columns mod 128), the C smallest (value, global col)
-    pairs across the R = M/128 column tiles in (value, col)-lex order,
-    plus the (C+1)-th smallest VALUE as a bound. Each of the k*d selection
-    rounds then runs on (T, 128) data only: pick the global (value, col)
-    lex-min over per-lane cache heads, consume it from its lane.
+    Why this layout (measured on v5e, tools/exp_selectors.py): the masked
+    argmin costs ~5.5 VPU ops/element over the full (T, M) tile for each of
+    the k*d rounds; the round-2 (value, col)-pair cache ('foldc') paid ~13
+    ops/element in its fold plus heavy per-round cache logic plus a
+    host-side nonzero/compaction repair — a net 0.75-0.83x LOSS vs argmin.
+    Values-only folding is a pure min/max insertion cascade:
 
-    Exactness without refolds: a row's result can only be wrong if some
-    lane's cache is exhausted (used == C) while its bound says a hidden
-    (C+1)-th candidate could still win: bound <= current winner value.
-    That row is FLAGGED (conservative) and the caller's repair epilogue
-    recomputes it exactly with the argmin kernel on a compacted row set;
-    per-row flags avoid fold2's fatal flaw (a tile-global refold trigger
-    fires almost every round once T*P(row) ~ 1, serializing full-tile
-    refolds — measured 0.63x vs argmin).
+      fold      2*C+1 ops/element, one pass       (C=3 -> 7 vs foldc's 13)
+      rounds    ~12 ops on (T, 128) only          (pop cache heads)
+      selected  1 eq-compare pass over (T, M); the resulting one-hot IS
+                the MXU gather operand, and ONE tiny matmul against a
+                static (M, 8) coefficient table [1, col%128, (col//128)%128,
+                col//16384] yields the hit count and the column (exact:
+                0/1 mask x <=127 integer coefficients, fp32 accumulation)
 
-    Tie order: candidates are folded in ascending-column order (strict '<'
-    vs the arriving element, full (value, col) lex for displaced carries),
-    and the cross-lane pick minimizes (value, col) — the torch.topk /
-    lax.top_k first-occurrence order, bitwise.
+    Exactness: a row is flagged when (a) a selected round's eq-compare hits
+    != 1 column — any bitwise-equal distance tie, including one with an
+    already-popped candidate or a tie that would break pop order across
+    lanes — or (b) an exhausted lane's (C+1)-th-value bound could still beat
+    the winner (hidden candidate). Flagged rows are recomputed exactly (with
+    lax.top_k first-occurrence tie order) by the masked-argmin epilogue,
+    which runs under pl.when only for tiles containing a flagged row and
+    reuses the distance matrix still sitting in VMEM — no host-side repair,
+    no recompaction, no extra HBM traffic.
 
-    Scratch: dist (T, Mp) fp32 (Mp = M rounded up to 128); mv (T, C*128)
-    fp32 + mc (T, C*128) int32 slot caches; bnd (T, 128) fp32 (C+1)-th
-    value; used (T, 128) int32 consume counts; flg (T, 128) int32.
+    Scratch: dist (T, Mp) fp32 (Mp = M rounded to 128, retained for the eq
+    compares); mrt (T, D) fp32 and flg (T, 128) int32 carry the main-loop
+    results into the predicated epilogue. The fold/pop state itself lives
+    in SSA values (statically unrolled loops) so Mosaic can register-
+    allocate it instead of bouncing through VMEM every round.
     """
     x_in = x_ref[0]
-    y_in = y_ref[0]
+    y_gd = y_ref[0]             # (Mp, D+8): target features ++ coef table
     x_raw = x_in.astype(jnp.float32)
     t, d = x_raw.shape
-    m_pad = y_in.shape[0]
+    m_pad = y_gd.shape[0]
     kd = k * dilation
     big = jnp.float32(jnp.inf)
     bigc = jnp.int32(1 << 30)
 
+    # The caller concatenates an 8-column coefficient table
+    # [1, col%128, (col//128)%128, col//16384, 0...] onto the target
+    # features IN XLA: each selected round then needs ONE
+    # (T, M) @ (M, D+8) matmul for gather + hit-count + column recovery.
+    # (A standalone (M, 8) matmul has an 8-lane output — <=6% MXU
+    # utilization, measurably dominant in the label kernels — and an
+    # in-kernel lane concat costs a ~6us/tile Mosaic relayout.)
+    y_in = y_gd[:, :d]
     xn = _norm_rows(x_raw)
     yn = _norm_rows(y_in.astype(jnp.float32))
     if bf16_inputs:
@@ -250,137 +286,193 @@ def _kernel_foldc(x_ref, y_ref, bias_ref, idx_ref, mr_ref, flag_ref,
     y_sq = jnp.sum(yn32 * yn32, axis=1, keepdims=True)
     dist = x_sq - 2.0 * inner + y_sq.T                        # (T, Mp)
     if has_bias:
-        dist = dist + bias_ref[...]
+        dist = dist + (bias_ref[0] if batched_bias else bias_ref[...])
     col_m = jax.lax.broadcasted_iota(jnp.int32, (t, m_pad), 1)
     dist_ref[...] = jnp.where(col_m < m_valid, dist, big)
 
     r_tiles = m_pad // 128
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
-    col_pad = jax.lax.broadcasted_iota(jnp.int32, (t, m_pad), 1)
-
     gdtype = jnp.bfloat16 if bf16_inputs else jnp.float32
-    y_gd = y_in.astype(gdtype)                                # (M, D)
 
-    # ---- fold: one pass over the R column tiles -------------------------
-    dd = dist_ref[...]
+    # ---- values-only fold: min/max insertion cascade --------------------
+    # static column slices (a dynamic lane-dim slice costs a relayout copy
+    # per step in Mosaic — measured as the difference between this fold
+    # and a pl.ds fori_loop version)
     mv = [jnp.full((t, 128), big) for _ in range(cache_c)]
-    mc = [jnp.zeros((t, 128), jnp.int32) for _ in range(cache_c)]
     bnd = jnp.full((t, 128), big)
     for r in range(r_tiles):
-        cv = dd[:, r * 128:(r + 1) * 128]
-        cc = lane128 + r * 128
+        cv = dist_ref[:, r * 128:(r + 1) * 128]
         for s in range(cache_c):
-            if s == 0:
-                # the arriving element's col exceeds every cached col in
-                # its lane (ascending-col arrival): strict '<' keeps
-                # first-occurrence tie order
-                b = cv < mv[s]
-            else:
-                # displaced carries need the full (value, col) lex compare
-                b = (cv < mv[s]) | ((cv == mv[s]) & (cc < mc[s]))
-            nv = jnp.where(b, cv, mv[s])
-            nc = jnp.where(b, cc, mc[s])
-            cv = jnp.where(b, mv[s], cv)
-            cc = jnp.where(b, mc[s], cc)
-            mv[s], mc[s] = nv, nc
+            nv = jnp.minimum(mv[s], cv)
+            cv = jnp.maximum(mv[s], cv)
+            mv[s] = nv
         bnd = jnp.minimum(bnd, cv)
     for s in range(cache_c):
         mv_ref[:, s * 128:(s + 1) * 128] = mv[s]
-        mc_ref[:, s * 128:(s + 1) * 128] = mc[s]
     bnd_ref[...] = bnd
+    hd_ref[...] = mv[0]
     used_ref[...] = jnp.zeros((t, 128), jnp.int32)
     flg_ref[...] = jnp.zeros((t, 128), jnp.int32)
-
     mrt_ref[...] = jnp.full((t, d), -jnp.inf, jnp.float32)
     idx_ref[0] = jnp.zeros((t, k), jnp.int32)
 
-    def gather_update(j, gc):
+    # ---- k*d pop rounds on the lane-cache heads (fori_loop + scratch ----
+    # refs: a static unroll makes Mosaic keep one live SSA copy of each
+    # round's (T, M) eq-mask — the exact VMEM-pressure failure the round-2
+    # argmin history documents; measured 18.2 -> 25.1 ms at stage-1 when
+    # these rounds were unrolled).
+    # The eq-compare + gather matmuls run full-width for moderate M; for
+    # large M (label kernels, up to 36864) they stream in the fewest
+    # equal 128-aligned chunks <= 4096 wide, bounding the live (T, chunk)
+    # transients (many small chunks multiply matmul-issue overhead —
+    # measured on the T=80 label kernels).
+    n_chunks = 1
+    while (m_pad // n_chunks > 4096 or m_pad % n_chunks
+           or (m_pad // n_chunks) % 128):
+        n_chunks += 1
+    g_chunk = m_pad // n_chunks
+
+    def gather_update(j, gv):
         sel = j // dilation if dilation > 1 else j
+        gp = jnp.zeros((t, d + 8), jnp.float32)
+        for ci in range(n_chunks):
+            lo, hi = ci * g_chunk, (ci + 1) * g_chunk
+            mask = (dist_ref[:, lo:hi] == gv[:, None]).astype(gdtype)
+            gp = gp + jax.lax.dot_general(                    # (T, D+8) MXU
+                mask, y_gd[lo:hi],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision)
+        gathered, p = gp[:, :d], gp[:, d:]
+        hits = p[:, 0]
+        gc = (p[:, 1] + 128.0 * p[:, 2] + 16384.0 * p[:, 3]).astype(jnp.int32)
         idx_ref[0] = jnp.where(lane_k == sel, gc[:, None], idx_ref[0])
-        mask = col_pad == gc[:, None]                         # (T, Mp)
-        gathered = jax.lax.dot_general(                       # (T, D) MXU
-            mask.astype(gdtype), y_gd,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=gather_precision)
         mrt_ref[...] = jnp.maximum(mrt_ref[...], gathered - x_raw)
+        flg_ref[...] = flg_ref[...] | (hits != 1.0)[:, None].astype(jnp.int32)
 
     def round_body(j, _):
+        hd = hd_ref[...]
         used = used_ref[...]
-        eff_v = jnp.full((t, 128), big)
-        eff_c = jnp.zeros((t, 128), jnp.int32)
-        for s in reversed(range(cache_c)):
-            is_s = used == s
-            eff_v = jnp.where(is_s, mv_ref[:, s * 128:(s + 1) * 128], eff_v)
-            eff_c = jnp.where(is_s, mc_ref[:, s * 128:(s + 1) * 128], eff_c)
-        gv = jnp.min(eff_v, axis=1)                           # (T,)
-        gc = jnp.min(jnp.where(eff_v == gv[:, None], eff_c, bigc),
-                     axis=1).astype(jnp.int32)                # (T,) lex
-        win = (eff_v == gv[:, None]) & (eff_c == gc[:, None])
-        # exactness check BEFORE consuming: an exhausted lane whose
-        # (C+1)-th-value bound could beat (or lex-tie) the winner means a
-        # hidden candidate may exist -> flag the row. +inf bound (no
-        # exhausted lane, or a lane class with <= C real candidates) never
-        # flags: inf <= inf is filtered by the isfinite guard.
+        gv = jnp.min(hd, axis=1)                              # (T,)
+        lmask = hd == gv[:, None]                             # (T, 128)
+        li = jnp.min(jnp.where(lmask, lane128, bigc), axis=1)
+        win = lmask & (lane128 == li[:, None])
+        # hidden-candidate check BEFORE consuming: an exhausted lane whose
+        # (C+1)-th-value bound could beat (or tie) the winner
         bmin = jnp.min(jnp.where(used >= cache_c, bnd_ref[...], big),
-                       axis=1)                                # (T,)
+                       axis=1)
         stale = (bmin <= gv) & jnp.isfinite(bmin)
         flg_ref[...] = flg_ref[...] | stale[:, None].astype(jnp.int32)
-        used_ref[...] = used + win.astype(jnp.int32)
+        used2 = used + win.astype(jnp.int32)
+        used_ref[...] = used2
+        nxt = jnp.full((t, 128), big)
+        for s in reversed(range(1, cache_c)):
+            nxt = jnp.where(used2 == s, mv_ref[:, s * 128:(s + 1) * 128],
+                            nxt)
+        hd_ref[...] = jnp.where(win, nxt, hd)
 
         if dilation > 1:
             @pl.when(j % dilation == 0)
             def _():
-                gather_update(j, gc)
+                gather_update(j, gv)
         else:
-            gather_update(j, gc)
+            gather_update(j, gv)
         return 0
 
     jax.lax.fori_loop(0, kd, round_body, 0)
     mr_ref[0] = mrt_ref[...].astype(mr_ref.dtype)
-    flag_ref[0] = flg_ref[:, :1]
+
+    # ---- exact epilogue for tiles containing a flagged row --------------
+    @pl.when(jnp.max(flg_ref[...]) > 0)
+    def _():
+        rf = flg_ref[:, :1] > 0                               # (T, 1)
+        mrt_ref[...] = jnp.where(rf, jnp.full((t, d), -jnp.inf,
+                                              jnp.float32), mrt_ref[...])
+
+        def egather(jj, idx_j, mask):
+            sel = jj // dilation if dilation > 1 else jj
+            idx_ref[0] = jnp.where((lane_k == sel) & rf, idx_j[:, None],
+                                   idx_ref[0])
+            gathered = jax.lax.dot_general(
+                mask.astype(gdtype), y_gd,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision)[:, :d]
+            mrt_ref[...] = jnp.where(
+                rf, jnp.maximum(mrt_ref[...], gathered - x_raw),
+                mrt_ref[...])
+
+        def eround(jj, _):
+            # min + lexicographic column extraction = lax.top_k /
+            # torch.topk first-occurrence tie order
+            dd = dist_ref[...]
+            gv = jnp.min(dd, axis=1)
+            eq = dd == gv[:, None]
+            idx_j = jnp.min(jnp.where(eq, col_m, bigc),
+                            axis=1).astype(jnp.int32)
+            mask = col_m == idx_j[:, None]
+            if dilation > 1:
+                @pl.when(jj % dilation == 0)
+                def _():
+                    egather(jj, idx_j, mask)
+            else:
+                egather(jj, idx_j, mask)
+
+            @pl.when(jj != kd - 1)
+            def _():
+                dist_ref[...] = jnp.where(mask, big, dd)
+
+            return 0
+
+        jax.lax.fori_loop(0, kd, eround, 0)
+        mr_ref[0] = mrt_ref[...].astype(mr_ref.dtype)
 
 
 # selection algorithm for the fused kernel:
-#   'auto'   — foldc when the target axis is large enough to amortize the
+#   'auto'   — foldv when the target axis is large enough to amortize the
 #              fold (M >= 1024), argmin otherwise
 #   'argmin' — masked min + lex column extraction over the full (T, M)
 #              tile every round
-#   'foldc'  — per-lane-class sorted top-C cache + flagged-row repair
+#   'foldv'  — values-only per-lane-class cache + eq-compare column
+#              recovery + exact in-kernel epilogue for flagged tiles
 _MR_SELECTOR = "auto"
 
 
 def set_mr_selector(name: str):
     global _MR_SELECTOR
-    assert name in ("auto", "argmin", "foldc"), name
+    assert name in ("auto", "argmin", "foldv"), name
     _MR_SELECTOR = name
 
 
-def _use_foldc(m: int) -> bool:
+def _use_foldv(m: int) -> bool:
     if _MR_SELECTOR == "auto":
         return m >= 1024
-    return _MR_SELECTOR == "foldc"
+    return _MR_SELECTOR == "foldv"
 
 
 def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector):
     """One pallas_call of the fused kernel. ``bias`` may be (N, M) shared
-    or (BG, N, M) batched (the repair pass gathers per-row bias slices).
-    Returns (idx, mr) for 'argmin', (idx, mr, flags (BG, N) int32) for
-    'foldc'."""
+    or (BG, N, M) batched. Returns (idx, mr)."""
     bg, n, d = x.shape
     m = y.shape[1]
     tile_n = min(tile_n, _round_up(n, 8))
     n_pad = _round_up(n, tile_n)
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
 
-    foldc = selector == "foldc"
+    foldv = selector == "foldv"
     # the lane-class fold tiles the target axis in 128-lane classes: pad
     # targets/bias to a 128 multiple, mask with m_valid inside
-    m_blk = _round_up(m, 128) if foldc else m
+    m_blk = _round_up(m, 128) if foldv else m
     if m_blk != m:
         y = jnp.pad(y, ((0, 0), (0, m_blk - m), (0, 0)))
 
+    # Grid order is (query-tile, bg) — the bias block depends only on the
+    # query tile, so with bg innermost its BlockSpec index is unchanged
+    # across consecutive grid steps and Pallas skips the HBM re-fetch
+    # (the (T, M) fp32 bias is by far the largest per-step input: 1.3 MB
+    # vs 104 KB of targets at stage-1 geometry — iterating bg outermost
+    # re-read it BG times).
     has_bias = bias is not None
     batched_bias = has_bias and bias.ndim == 3
     if has_bias:
@@ -393,14 +485,14 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector):
             bias2 = jnp.pad(bias2, widths)
         if batched_bias:
             bias_spec = pl.BlockSpec((1, tile_n, m_blk),
-                                     lambda b, i: (b, i, 0),
+                                     lambda i, b: (b, i, 0),
                                      memory_space=pltpu.VMEM)
         else:
-            bias_spec = pl.BlockSpec((tile_n, m_blk), lambda b, i: (i, 0),
+            bias_spec = pl.BlockSpec((tile_n, m_blk), lambda i, b: (i, 0),
                                      memory_space=pltpu.VMEM)
     else:
         bias2 = jnp.zeros((8, 128), jnp.float32)
-        bias_spec = pl.BlockSpec((8, 128), lambda b, i: (0, 0),
+        bias_spec = pl.BlockSpec((8, 128), lambda i, b: (0, 0),
                                  memory_space=pltpu.VMEM)
 
     # one-hot row gather: with bf16 inputs a single-pass bf16 MXU matmul is
@@ -412,36 +504,60 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector):
     gather_precision = (jax.lax.Precision.DEFAULT if bf16_inputs
                         else jax.lax.Precision.HIGHEST)
     itembytes = 2 if bf16_inputs else 4
-    vmem_limit = min(_VMEM_CAP,
-                     max(16 * 1024 * 1024,
-                         int(_scoped_vmem_bytes(tile_n, m_blk, k, dilation,
-                                                d, itembytes) * 1.25)
-                         + 2 * 1024 * 1024))
-
     kd = k * dilation
+    d_in = d
+    if foldv:
+        # append the 8-column coefficient table
+        # [1, col%128, (col//128)%128, col//16384, 0x4] to the targets in
+        # XLA (cheap fusion): the kernel's gather matmul then returns the
+        # hit count + column parts for free in lanes [D, D+8) — an
+        # in-kernel lane concat costs a measured ~6us/tile relayout and a
+        # standalone (M, 8) matmul wastes the MXU (8-lane output)
+        gdt = jnp.bfloat16 if bf16_inputs else jnp.float32
+        col = jnp.arange(m_blk, dtype=jnp.int32)
+        coef = jnp.stack(
+            [jnp.ones_like(col), col % 128, (col // 128) % 128,
+             col // 16384] + [jnp.zeros_like(col)] * 4, axis=1)
+        y = jnp.concatenate(
+            [y.astype(gdt),
+             jnp.broadcast_to(coef.astype(gdt)[None], (bg, m_blk, 8))],
+            axis=2)
+        d_in = d + 8
+    if foldv:
+        model = _scoped_vmem_bytes_foldv(tile_n, m_blk, _cache_depth(kd),
+                                         d, itembytes)
+    else:
+        model = _scoped_vmem_bytes(tile_n, m_blk, k, dilation, d, itembytes)
+    # the limit is intentionally generous vs the model (x1.6 + 8M): a
+    # marginal misestimate must not fail the compile — the model's job is
+    # the fused/fallback DECISION (fused_fits), the limit's job is only to
+    # bound the compiler (measured: T=80, M=20736 foldv actually allocates
+    # 59.5M where the 5.5-copy model said 44M)
+    vmem_limit = min(_VMEM_CAP,
+                     max(24 * 1024 * 1024,
+                         int(model * 1.6) + 8 * 1024 * 1024))
+
     out_specs = [
-        pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+        pl.BlockSpec((1, tile_n, k), lambda i, b: (b, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+        pl.BlockSpec((1, tile_n, d), lambda i, b: (b, i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bg, n_pad, k), jnp.int32),
         jax.ShapeDtypeStruct((bg, n_pad, d), x.dtype),
     ]
-    if foldc:
+    if foldv:
         c = _cache_depth(kd)
-        kern = functools.partial(_kernel_foldc, cache_c=c)
+        kern = functools.partial(_kernel_foldv, cache_c=c,
+                                 batched_bias=batched_bias)
         scratch = [pltpu.VMEM((tile_n, m_blk), jnp.float32),
                    pltpu.VMEM((tile_n, d), jnp.float32),
                    pltpu.VMEM((tile_n, c * 128), jnp.float32),
-                   pltpu.VMEM((tile_n, c * 128), jnp.int32),
+                   pltpu.VMEM((tile_n, 128), jnp.float32),
                    pltpu.VMEM((tile_n, 128), jnp.float32),
                    pltpu.VMEM((tile_n, 128), jnp.int32),
                    pltpu.VMEM((tile_n, 128), jnp.int32)]
-        out_specs.append(pl.BlockSpec((1, tile_n, 1), lambda b, i: (b, i, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((bg, n_pad, 1), jnp.int32))
     else:
         kern = functools.partial(_kernel, batched_bias=batched_bias)
         scratch = [pltpu.VMEM((tile_n, m), jnp.float32),
@@ -451,11 +567,11 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector):
                           has_bias=has_bias,
                           gather_precision=gather_precision,
                           bf16_inputs=bf16_inputs),
-        grid=(bg, n_pad // tile_n),
+        grid=(n_pad // tile_n, bg),
         in_specs=[
-            pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile_n, d), lambda i, b: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_blk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, m_blk, d_in), lambda i, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             bias_spec,
         ],
@@ -473,68 +589,16 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector):
     idx, mr = outs[0], outs[1]
     if n_pad != n:
         idx, mr = idx[:, :n], mr[:, :n]
-    if foldc:
-        flags = outs[2][:, :n, 0] if n_pad != n else outs[2][..., 0]
-        return idx, mr, flags
     return idx, mr
-
-
-def _repair_cap(n: int) -> int:
-    """Static row capacity of the repair pass: generous vs the expected
-    flag rate (<~0.5% of rows), tiny vs a full recompute."""
-    return min(_round_up(n, 8), max(128, _round_up(n // 32, 128)))
 
 
 def _fused_forward(x, y, bias, k, dilation, tile_n, interpret):
     # off-TPU (tests, explicit set_knn_impl('pallas') on CPU) fall back to
     # the interpreter so the fused path stays functional everywhere
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
-    bg, n, d = x.shape
     m = y.shape[1]
-    if not _use_foldc(m):
-        return _run_pallas(x, y, bias, k, dilation, tile_n, interpret,
-                           "argmin")
-
-    idx, mr, flags = _run_pallas(x, y, bias, k, dilation, tile_n, interpret,
-                                 "foldc")
-    cap = _repair_cap(n)
-    cnt = jnp.sum(flags, axis=1)                              # (BG,)
-
-    def full_recompute(_):
-        return _run_pallas(x, y, bias, k, dilation, tile_n, interpret,
-                           "argmin")
-
-    def repair(_):
-        # exact recompute of just the flagged rows, compacted per batch
-        # element (static cap), with the argmin kernel; out-of-range fill
-        # rows are dropped by the scatter.
-        rows = jax.vmap(
-            lambda f: jnp.nonzero(f, size=cap, fill_value=n)[0])(flags)
-        valid = jax.lax.broadcasted_iota(
-            jnp.int32, (bg, cap), 1) < cnt[:, None]
-        rows_g = jnp.where(valid, rows, 0)
-        xg = jnp.take_along_axis(x, rows_g[..., None], axis=1)
-        bias_g = None
-        if bias is not None:
-            b3 = bias[None] if bias.ndim == 2 else bias
-            if b3.shape[0] == 1:
-                bias_g = b3[0][rows_g]                        # (BG, cap, M)
-            else:
-                bias_g = jnp.take_along_axis(
-                    b3, rows_g[..., None], axis=1)
-        idx_r, mr_r = _run_pallas(xg, y, bias_g, k, dilation, tile_n,
-                                  interpret, "argmin")
-        rows_s = jnp.where(valid, rows, n)  # out of range -> dropped
-        idx2 = jax.vmap(
-            lambda a, r, v: a.at[r].set(v, mode="drop"))(idx, rows_s, idx_r)
-        mr2 = jax.vmap(
-            lambda a, r, v: a.at[r].set(v, mode="drop"))(mr, rows_s, mr_r)
-        return idx2, mr2
-
-    # adversarially tie-heavy inputs can flag more rows than the repair
-    # capacity: recompute everything exactly with the argmin kernel then
-    # (never on real feature data; exactness is unconditional either way)
-    return jax.lax.cond(jnp.max(cnt) > cap, full_recompute, repair, None)
+    selector = "foldv" if _use_foldv(m) else "argmin"
+    return _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -558,6 +622,149 @@ def _mr_from_idx(x, y, idx):
     return jnp.max(x_j - x[:, :, None, :], axis=2)
 
 
+def _bwd_kernel(x_ref, y_ref, idx_ref, g_ref, gx_ref, gy_ref, rel_ref, *,
+                k: int, m_valid: int):
+    """Scatter-free backward of gather + max-relative: the per-neighbor
+    one-hot masks (recomputed from the saved indices) turn the y-gradient
+    scatter-add into MXU matmuls ``onehot_j^T @ (g * ind_j / count)`` —
+    the XLA transpose of `take_along_axis` is a serialized scatter that
+    measured ~3.5x the entire fused forward at stage-1 geometry.
+
+    Max-tie semantics replicate lax.reduce_max's JVP (jax lax.py
+    `_reduce_chooser_jvp_rule`): the gradient splits equally among tied
+    maxima; the relative differences and the max are computed in the
+    INPUT dtype so the indicator set is bitwise the one the XLA
+    recompute-gather path (`_mr_from_idx`) produces.
+
+    Grid (bg, tiles): tiles innermost so the (M, D) gy block index is
+    unchanged across consecutive steps and accumulates in VMEM
+    (zero-initialized at the first tile).
+    """
+    i = pl.program_id(1)
+    x_in = x_ref[0]                                           # (T, D)
+    y_in = y_ref[0]                                           # (Mp, D)
+    g_in = g_ref[0]                                           # (T, D)
+    t, d = x_in.shape
+    m_pad = y_in.shape[0]
+    in_dtype = x_in.dtype
+    bf16 = in_dtype == jnp.bfloat16
+    precision = (jax.lax.Precision.DEFAULT if bf16
+                 else jax.lax.Precision.HIGHEST)
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (t, m_pad), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+    idx_all = idx_ref[0]                                      # (T, k)
+
+    @pl.when(i == 0)
+    def _():
+        gy_ref[0] = jnp.zeros((m_pad, d), gy_ref.dtype)
+
+    def idx_col(j):
+        # Mosaic has no dynamic_slice lowering for values: extract the
+        # j-th index column with a masked lane reduce instead
+        return jnp.sum(jnp.where(lane_k == j, idx_all, 0),
+                       axis=1)[:, None]                       # (T, 1)
+
+    # pass 1 (fori_loop: one live (T, M) mask — a static unroll makes
+    # Mosaic keep k of them live): relative neighbor features in the
+    # INPUT dtype, staged into the rel scratch along sublanes
+    def pass1(j, _):
+        mask = (col_m == idx_col(j)).astype(in_dtype)
+        xj = jax.lax.dot_general(
+            mask, y_in, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(in_dtype)
+        rel_ref[pl.ds(j * t, t), :] = xj - x_in
+        return 0
+
+    jax.lax.fori_loop(0, k, pass1, 0)
+
+    # small (T, D) reductions: static slices of the rel scratch. The tie
+    # indicator compares in fp32 (bf16 -> fp32 is an exact embedding, so
+    # equality is unchanged; v5e Mosaic has no bf16 compare).
+    mr = rel_ref[0:t, :]
+    for j in range(1, k):
+        mr = jnp.maximum(mr, rel_ref[j * t:(j + 1) * t, :])
+    mr32 = mr.astype(jnp.float32)
+    cnt = jnp.zeros((t, d), jnp.float32)
+    for j in range(k):
+        cnt = cnt + (rel_ref[j * t:(j + 1) * t, :].astype(jnp.float32)
+                     == mr32).astype(jnp.float32)
+    gsc = g_in.astype(jnp.float32) / cnt
+
+    # pass 2: per-neighbor gradient, scattered via TRANSPOSED matmul
+    def pass2(j, _):
+        rel_j = rel_ref[pl.ds(j * t, t), :].astype(jnp.float32)
+        gj = jnp.where(rel_j == mr32, gsc, 0.0).astype(in_dtype)
+        mask = (col_m == idx_col(j)).astype(in_dtype)
+        gy_ref[0] = gy_ref[0] + jax.lax.dot_general(          # (Mp, D) MXU
+            mask, gj, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(gy_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k, pass2, 0)
+    # d/dx of max_j(x_j - x) = -(sum_j ind_j / count) * g = -g exactly
+    gx_ref[0] = (-g_in.astype(jnp.float32)).astype(gx_ref.dtype)
+
+
+def _bwd_vmem_bytes(tile_t: int, m_pad: int, k: int, d: int,
+                    itembytes: int) -> int:
+    return (4 * tile_t * m_pad * itembytes            # mask transients
+            + (k + 6) * tile_t * d * 4                # rel stack + temps
+            + 3 * m_pad * d * 4                       # gy block + acc
+            + 2 * m_pad * d * itembytes)              # y (double-buffered)
+
+
+def _bwd_pallas(x, y, idx, g_mr, k, tile_n, interpret):
+    bg, n, d = x.shape
+    m = y.shape[1]
+    tile_n = min(tile_n, _round_up(n, 8))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+        g_mr = jnp.pad(g_mr, ((0, 0), (0, n_pad - n), (0, 0)))
+    gx, gy = pl.pallas_call(
+        functools.partial(_bwd_kernel, k=k, m_valid=m),
+        grid=(bg, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bg, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((bg, m, d), y.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((k * tile_n, d), x.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bg * n_pad * m * d * k,
+            bytes_accessed=bg * (3 * n_pad * d + 2 * m * d) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=min(
+            _VMEM_CAP,
+            max(24 * 1024 * 1024,
+                2 * _bwd_vmem_bytes(tile_n, m, k, d,
+                                    jnp.dtype(x.dtype).itemsize)))),
+    )(x, y, idx, g_mr)
+    if n_pad != n:
+        gx = gx[:, :n]
+    return gx, gy
+
+
 def _fwd(x, y, bias, k, dilation, tile_n, interpret):
     idx, mr = _fused_forward(x, y, bias, k, dilation, tile_n, interpret)
     return (idx, mr), (x, y, idx)
@@ -566,9 +773,17 @@ def _fwd(x, y, bias, k, dilation, tile_n, interpret):
 def _bwd(k, dilation, tile_n, interpret, res, g):
     x, y, idx = res
     _, g_mr = g  # idx output is integer: no gradient
-    # recompute the (cheap) gather path and differentiate it with XLA; the
-    # graph build itself is non-differentiable (stop_gradient semantics,
-    # torch_edge.py:17)
+    # the graph build is non-differentiable on the live path
+    # (stop_gradient semantics, torch_edge.py:17); only the gather +
+    # max-relative is differentiated
+    interp = interpret or jax.default_backend() not in ("tpu", "axon")
+    fits = _bwd_vmem_bytes(
+        min(tile_n, _round_up(x.shape[1], 8)), y.shape[1], k, x.shape[2],
+        jnp.dtype(x.dtype).itemsize) * 2 <= _VMEM_CAP
+    if fits:
+        gx, gy = _bwd_pallas(x, y, idx, g_mr, k, tile_n, interp)
+        return gx, gy, None
+    # fallback: recompute the gather path and differentiate it with XLA
     _, vjp = jax.vjp(lambda x_, y_: _mr_from_idx(x_, y_, idx), x, y)
     gx, gy = vjp(g_mr)
     return gx, gy, None

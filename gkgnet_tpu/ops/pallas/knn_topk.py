@@ -67,6 +67,7 @@ def _topk_from_dist(dist, out_ref, dist_ref, k: int, m_valid: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
     big = jnp.float32(jnp.inf)
+    bigc = jnp.int32(1 << 30)
     dist_ref[...] = jnp.where(col < m_valid, dist, big)
     out_ref[0] = jnp.zeros((t, k), jnp.int32)
     if val_ref is not None:
@@ -74,10 +75,14 @@ def _topk_from_dist(dist, out_ref, dist_ref, k: int, m_valid: int,
 
     def round_body(j, _):
         d = dist_ref[...]
-        idx_j = jnp.argmin(d, axis=1).astype(jnp.int32)        # (T,) first-min
+        # min + lexicographic column extraction (NOT jnp.argmin: Mosaic's
+        # argmin lowering does not guarantee the first-occurrence tie order
+        # lax.top_k uses — observed index flips on bitwise-equal distances)
+        v_j = jnp.min(d, axis=1)                               # (T,)
+        idx_j = jnp.min(jnp.where(d == v_j[:, None], col, bigc),
+                        axis=1).astype(jnp.int32)
         out_ref[0] = jnp.where(lane_k == j, idx_j[:, None], out_ref[0])
         if val_ref is not None:
-            v_j = jnp.min(d, axis=1)
             val_ref[0] = jnp.where(lane_k == j, v_j[:, None], val_ref[0])
 
         @pl.when(j != k - 1)
@@ -166,12 +171,14 @@ def knn_topk(
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    grid = (bg, n_pad // tile_n)
-    x_spec = pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
+    # bg innermost: the (tile, M) bias block index is then unchanged
+    # across consecutive grid steps and Pallas skips its HBM re-fetch
+    grid = (n_pad // tile_n, bg)
+    x_spec = pl.BlockSpec((1, tile_n, d), lambda i, b: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+    y_spec = pl.BlockSpec((1, m, d), lambda i, b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+    out_spec = pl.BlockSpec((1, tile_n, k), lambda i, b: (b, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((bg, n_pad, k), jnp.int32)
     cost = pl.CostEstimate(
@@ -188,7 +195,7 @@ def knn_topk(
 
     if return_values:
         out_specs = [out_spec,
-                     pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+                     pl.BlockSpec((1, tile_n, k), lambda i, b: (b, i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shapes = [out_shape,
                       jax.ShapeDtypeStruct((bg, n_pad, k), jnp.float32)]
@@ -205,7 +212,7 @@ def knn_topk(
             functools.partial(kern_bias, k=k, m_valid=m),
             grid=grid,
             in_specs=[x_spec, y_spec,
-                      pl.BlockSpec((tile_n, m), lambda b, i: (i, 0),
+                      pl.BlockSpec((tile_n, m), lambda i, b: (i, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=out_specs, out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((tile_n, m), jnp.float32)],

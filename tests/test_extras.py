@@ -111,3 +111,24 @@ def test_build_batch_augment_switch():
     assert out_imgs.shape == imgs.shape
     assert out_labels.shape == labels.shape
     assert build_batch_augment(None) is None
+
+
+def test_imshow_infos_annotated_image(tmp_path):
+    """imshow_infos draws text rows and writes the annotated file
+    (reference core/visualization/image.py:302-342 equivalent)."""
+    from gkgnet_tpu.utils.visualization import imshow_infos, \
+        imshow_predictions
+
+    img = np.zeros((96, 128, 3), np.uint8)
+    out_file = str(tmp_path / "annotated.png")
+    out = imshow_infos(img, {"cat": 0.98, "pred_class": "cat"},
+                       font_size=12, row_width=14, out_file=out_file)
+    assert out.shape == (96, 128, 3) and out.dtype == np.uint8
+    assert out.sum() > 0  # text + backing bars drawn on the black image
+    import os as _os
+    assert _os.path.exists(out_file)
+    from PIL import Image
+    assert Image.open(out_file).size == (128, 96)
+
+    out2 = imshow_predictions(img, [{"class_name": "dog", "score": 0.5}])
+    assert out2.sum() > 0

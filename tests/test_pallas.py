@@ -117,6 +117,78 @@ def test_knn_mr_fused_gradients_match_reference():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dilation,has_bias", [(1, True), (1, False),
+                                               (3, True)])
+def test_knn_mr_foldv_matches_reference(dilation, has_bias):
+    """foldv selector (forced at sub-threshold M) vs the XLA reference —
+    exercises the values-only fold, eq-compare column recovery, and the
+    hidden-candidate bound at unaligned M."""
+    from gkgnet_tpu.ops.pallas import knn_mr
+
+    bg, n, d, m, k = 2, 72, 12, 200, 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((bg, m, d)), jnp.float32)
+    bias = (jnp.asarray(rng.standard_normal((n, m)) * 0.1, jnp.float32)
+            if has_bias else None)
+    ref_idx, ref_mr = _reference_mr(x, y, k, dilation, bias)
+    knn_mr.set_mr_selector("foldv")
+    try:
+        idx, mr = knn_mr_fused(x, y, bias, k, dilation, 24, True)
+    finally:
+        knn_mr.set_mr_selector("auto")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_knn_mr_foldv_ties_exact():
+    """Quantized features force exact distance ties: every tied row must be
+    flagged and repaired by the in-kernel argmin epilogue, reproducing
+    lax.top_k first-occurrence order bitwise."""
+    from gkgnet_tpu.ops.pallas import knn_mr
+
+    bg, n, d, m, k = 2, 48, 6, 160, 5
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(0, 2, (bg, n, d)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (bg, m, d)), jnp.float32)
+    ref_idx, ref_mr = _reference_mr(x, y, k, 1)
+    knn_mr.set_mr_selector("foldv")
+    try:
+        idx, mr = knn_mr_fused(x, y, None, k, 1, 24, True)
+    finally:
+        knn_mr.set_mr_selector("auto")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_knn_mr_foldv_lane_collision_epilogue():
+    """Adversarial lane-class collisions: place the whole top-k*d in ONE
+    column class mod 128 so the per-lane cache overflows and the bound
+    check must flag the rows (hidden-candidate path)."""
+    from gkgnet_tpu.ops.pallas import knn_mr
+
+    bg, n, d, m, k = 1, 16, 8, 768, 4
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    # targets: far away everywhere except columns 7, 135, 263, 391, 503+...
+    # (same lane class 7 mod 128) which are near-copies of the queries
+    y_np = rng.standard_normal((bg, m, d)) * 10.0
+    for j, c in enumerate([7, 135, 263, 391, 7 + 4 * 128]):
+        y_np[:, c] = np.asarray(x[:, j % n]) * (1.0 + 0.01 * j)
+    y = jnp.asarray(y_np, jnp.float32)
+    ref_idx, ref_mr = _reference_mr(x, y, k, 2)
+    knn_mr.set_mr_selector("foldv")
+    try:
+        idx, mr = knn_mr_fused(x, y, None, k, 2, 16, True)
+    finally:
+        knn_mr.set_mr_selector("auto")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_model_forward_pallas_vs_xla_impl():
     """Full small-model forward: Pallas fused path (interpret) vs XLA path."""
     from gkgnet_tpu.nn.classifier import GKGNetClassifier
@@ -136,3 +208,41 @@ def test_model_forward_pallas_vs_xla_impl():
         knn_mod.set_knn_impl("auto")
     np.testing.assert_allclose(np.asarray(score_pl), np.asarray(score_xla),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_fits_768_label_geometry():
+    """The 768^2 flagship config's stage-1 label kernel (T=80, M=36864,
+    k_label_gcn=16) must run FUSED: VERDICT r2 weak #2 — the old scoped-VMEM
+    model tripped the 100 MB gate and silently fell back to XLA. The foldv
+    selector streams its gather in bounded chunks, so it fits."""
+    from gkgnet_tpu.ops.pallas.knn_mr import fused_fits
+
+    assert fused_fits(80, 36864, 16, 1, d=40, itembytes=2)
+    # and the full-resolution spatial kernel at 768^2 stage 1 (queries
+    # 36864, pooled targets 2304) keeps fitting too
+    assert fused_fits(36864, 2304, 9, 1, d=40, itembytes=2)
+
+
+def test_bwd_pallas_matches_xla_vjp():
+    """Scatter-free Pallas backward vs the XLA recompute-gather VJP,
+    including max-ties (duplicated targets make x_j - x_i tie exactly so
+    the reduce_max gradient must SPLIT among ties) and multi-tile gy
+    accumulation."""
+    from gkgnet_tpu.ops.pallas.knn_mr import _bwd_pallas, _mr_from_idx
+
+    rng = np.random.default_rng(11)
+    bg, n, d, m, k = 2, 48, 8, 40, 4
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    y_np = rng.standard_normal((bg, m, d))
+    y_np[:, 30] = y_np[:, 31]  # duplicate rows -> exact ties in the max
+    y = jnp.asarray(y_np, jnp.float32)
+    idx = knn_graph(x, y, k=k)
+    g = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda x_, y_: _mr_from_idx(x_, y_, idx), x, y)
+    gx_ref, gy_ref = vjp(g)
+    gx, gy = _bwd_pallas(x, y, idx, g, k, 16, True)  # 3 tiles of 16
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
+                               atol=1e-5, rtol=1e-5)

@@ -1,6 +1,16 @@
-"""Fused-kernel selector comparison: parity vs the XLA path + on-device
-timing at the production stage shapes, for each selection algorithm in
-ops/pallas/knn_mr (masked argmin vs foldc lane-cache).
+"""Fused-kernel selector comparison: parity + on-device timing at the
+production stage shapes, for each selection algorithm in ops/pallas/knn_mr
+(masked argmin vs foldv values-only lane cache).
+
+Parity is judged two ways:
+  * selector vs selector — both Pallas kernels compute bitwise-identical
+    in-kernel distances, so their idx/mr must match BITWISE;
+  * selector vs the XLA path — XLA's fused distance computation differs
+    from the in-kernel one by ~1 ulp (different matmul/reduction
+    association on hardware), so near-tie neighbor ranks may flip; a row
+    only counts as a FAILURE when a disagreeing pick cannot be explained
+    by a near-tie (the two picks' fp64-recomputed distances differ by more
+    than ULP_TOL relative units).
 
 Usage: python tools/exp_selectors.py [case ...]   (default: all cases)
 """
@@ -17,12 +27,16 @@ from gkgnet_tpu.ops.pallas import knn_mr
 from gkgnet_tpu.ops.knn import knn_graph, set_knn_impl
 from gkgnet_tpu.ops.aggregate import gather_nodes
 
-SELECTORS = ("argmin", "foldc")
+SELECTORS = ("argmin", "foldv")
+ULP_TOL = 1e-5  # relative: bf16-derived fp32 distances agree to ~1e-7;
+# near-ties flipped by XLA-vs-Pallas accumulation differences sit well
+# below this, genuinely-wrong picks sit orders of magnitude above
 
 
 def bench(fn, *args, iters=20):
-    # on-device scan loop with a runtime epsilon: one dispatch per
-    # measurement, nothing loop-invariant to hoist (docs/PERF.md)
+    # on-device scan loop with a runtime epsilon (nothing loop-invariant
+    # to hoist) and two-point overhead subtraction: the tunnel's fixed
+    # per-dispatch cost cancels in t(3N) - t(N) (docs/PERF.md)
     @jax.jit
     def run(eps, *a):
         def body(c, e):
@@ -31,11 +45,40 @@ def bench(fn, *args, iters=20):
                     + jnp.sum(mr).astype(jnp.float32)), None
         return jax.lax.scan(body, jnp.float32(0), eps)[0]
 
-    eps = jnp.zeros((iters,), args[0].dtype)
-    np.asarray(run(eps, *args))
-    t0 = time.perf_counter()
-    np.asarray(run(eps, *args))
-    return (time.perf_counter() - t0) / iters
+    def timed(n):
+        eps = jnp.zeros((n,), args[0].dtype)
+        np.asarray(run(eps, *args))
+        t0 = time.perf_counter()
+        np.asarray(run(eps, *args))
+        return time.perf_counter() - t0
+
+    t1 = timed(iters)
+    t3 = timed(3 * iters)
+    return (t3 - t1) / (2 * iters)
+
+
+def tie_aware_mismatch(idx_a, idx_b, x, y, bias, max_rows=4096):
+    """Rows where a and b disagree beyond near-tie tolerance, judged by
+    fp64 host-side distances on the same (normalized) inputs. Returns
+    (total flip rows, rows examined, real mismatches among examined)."""
+    xa = np.asarray(x, np.float64)
+    ya = np.asarray(y, np.float64)
+    xa /= np.maximum(np.linalg.norm(xa, axis=-1, keepdims=True), 1e-12)
+    ya /= np.maximum(np.linalg.norm(ya, axis=-1, keepdims=True), 1e-12)
+    bb = np.asarray(bias, np.float64) if bias is not None else None
+    bad = 0
+    rows = np.nonzero((idx_a != idx_b).any(-1))
+    flips = len(rows[0])
+    for b, r in list(zip(*rows))[:max_rows]:
+        da = np.sum((xa[b, r, None] - ya[b, idx_a[b, r]]) ** 2, -1)
+        db = np.sum((xa[b, r, None] - ya[b, idx_b[b, r]]) ** 2, -1)
+        if bb is not None:
+            da = da + bb[r, idx_a[b, r]]
+            db = db + bb[r, idx_b[b, r]]
+        if np.max(np.abs(np.sort(da) - np.sort(db))) > ULP_TOL * (
+                1.0 + np.abs(da).max()):
+            bad += 1
+    return flips, min(flips, max_rows), bad
 
 
 # name: (BG, N, D, M, k, dilation, has_bias)
@@ -46,6 +89,7 @@ CASES = {
     "stage3d3": (16, 1296, 200, 1296, 9, 3, True),
     "stage4d3": (16, 324, 320, 324, 9, 3, True),
     "label1":   (16, 80, 40, 20736, 9, 1, False),
+    "label1_768": (16, 80, 40, 36864, 16, 1, False),
     "ties":     (2, 256, 8, 300, 6, 1, False),
 }
 
@@ -70,7 +114,7 @@ for name in names:
         out[sel] = (np.asarray(idx), np.asarray(mr, dtype=np.float32))
         t[sel] = bench(lambda a, b, bb=bias, k=k, dil=dil:
                        knn_mr.knn_mr_fused(a, b, bb, k, dil), x, y)
-    # XLA reference (top_k + gather max-relative): the parity oracle
+    # XLA reference (top_k + gather max-relative): the behavior oracle
     set_knn_impl("xla")
 
     def xla_ref(a, b):
@@ -81,10 +125,13 @@ for name in names:
     xi, xmr = jax.device_get(jax.jit(xla_ref)(x, y))
     set_knn_impl("auto")
     out["xla"] = (np.asarray(xi), np.asarray(xmr, dtype=np.float32))
-    msg = f"{name}:"
+    cross_ok = np.array_equal(out["argmin"][0], out["foldv"][0]) and \
+        np.array_equal(out["argmin"][1], out["foldv"][1])
+    msg = f"{name}: argmin==foldv bitwise: {cross_ok};"
     for sel in SELECTORS:
-        ok = np.array_equal(out[sel][0], out["xla"][0])
-        err = float(np.abs(out[sel][1] - out["xla"][1]).max())
-        msg += f" {sel}[vs_xla idx={ok} mr_err={err:.1e} {t[sel]*1e3:6.2f}ms]"
-    print(msg + f" speedup x{t['argmin'] / t['foldc']:.2f}", flush=True)
+        flips, seen, bad = tie_aware_mismatch(out[sel][0], out["xla"][0],
+                                              x, y, bias)
+        msg += (f" {sel}[vs_xla tie_flips={flips} real_mismatch={bad}/{seen} "
+                f"{t[sel]*1e3:6.2f}ms]")
+    print(msg + f" speedup x{t['argmin'] / t['foldv']:.2f}", flush=True)
 knn_mr.set_mr_selector("auto")

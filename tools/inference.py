@@ -64,18 +64,10 @@ def inference_model(model, state, cfg, img_path: str, topk: int = 5):
 
 def show_result(img_path: str, preds, out_file: str | None = None):
     """Draw prediction text onto the image (reference
-    core/visualization/image.py imshow_infos essentials)."""
-    from PIL import Image, ImageDraw
+    core/visualization/image.py imshow_infos)."""
+    from gkgnet_tpu.utils.visualization import imshow_predictions
 
-    with Image.open(img_path) as im:
-        im = im.convert("RGB")
-        draw = ImageDraw.Draw(im)
-        for i, p in enumerate(preds):
-            draw.text((4, 4 + 14 * i),
-                      f"{p['class_name']}: {p['score']:.3f}", fill=(0, 255, 0))
-        if out_file:
-            im.save(out_file)
-    return im
+    return imshow_predictions(img_path, preds, out_file=out_file)
 
 
 def main():

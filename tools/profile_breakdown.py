@@ -8,7 +8,9 @@ model both ways. The gap between the kernel sum and the full-model time is
 the dense (stem/conv/FFN/BN) remainder — the roofline table VERDICT asks
 for. Writes a markdown table to stdout.
 
-Env: BD_BATCH (default 8), BD_SIZE (576), BD_ARCH (s), BD_ITERS (10).
+Env: BD_BATCH (default 8), BD_SIZE (576), BD_ARCH (s), BD_ITERS (10),
+BD_MODE (eval|train|both — train adds a fwd+bwd per-kernel table with the
+recompute-gather VJP, plus the full jitted train step).
 """
 
 from __future__ import annotations
@@ -24,11 +26,13 @@ import numpy as np
 
 def bench(fn, *args, iters=10):
     """Time ``fn(*args)`` (must return a scalar) with the iteration loop ON
-    DEVICE (lax.scan): a single dispatch per measurement, so per-call
-    dispatch/readback overhead (tens of ms through remote TPU tunnels —
-    measured 71 ms fixed per dispatch) never pollutes the numbers. The
-    scanned epsilon is added to the first argument so the body is not
-    loop-invariant (XLA would hoist it out of the loop otherwise)."""
+    DEVICE (lax.scan) and TWO-POINT overhead subtraction: the per-call
+    dispatch/readback overhead through remote TPU tunnels is a fixed
+    25-90 ms, so a single N-iteration measurement still carries
+    overhead/N per iteration (3-9 ms at N=10 — round-3 finding); timing
+    scans of N and 3N iterations and differencing cancels it exactly.
+    The scanned epsilon is a runtime argument added to the first input so
+    the body is not loop-invariant (XLA would hoist it otherwise)."""
     import jax
     import jax.numpy as jnp
 
@@ -40,13 +44,16 @@ def bench(fn, *args, iters=10):
         total, _ = jax.lax.scan(body, jnp.float32(0), eps)
         return total
 
-    # eps must be a RUNTIME argument: as a traced constant XLA folds x+0
-    # and hoists the whole body out of the loop
-    eps = jnp.zeros((iters,), args[-1].dtype)
-    np.asarray(run(eps, *args))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(run(eps, *args))
-    return (time.perf_counter() - t0) / iters
+    def timed(n):
+        eps = jnp.zeros((n,), args[-1].dtype)
+        np.asarray(run(eps, *args))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(run(eps, *args))
+        return time.perf_counter() - t0
+
+    t1 = timed(iters)
+    t3 = timed(3 * iters)
+    return (t3 - t1) / (2 * iters)
 
 
 def kernel_cases(arch: str, size: int, batch: int, k: int = 9,
@@ -81,11 +88,99 @@ def kernel_cases(arch: str, size: int, batch: int, k: int = 9,
     return cases
 
 
+def train_tables(arch: str, size: int, batch: int, iters: int):
+    """fwd+bwd per-kernel table (the custom-VJP recompute-gather path) and
+    the full jitted train step (fwd + dual loss + bwd + AdamW + BN stats) —
+    the VERDICT r3 train-attribution ask."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gkgnet_tpu.core.optim import build_optimizer
+    from gkgnet_tpu.core.schedules import step_lr_with_warmup
+    from gkgnet_tpu.core.trainer import create_train_state, make_train_step
+    from gkgnet_tpu.nn.classifier import GKGNetClassifier
+    from gkgnet_tpu.ops.pallas.knn_mr import fused_fits, knn_mr_fused
+
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    print("\n-- train (fwd+bwd) per-kernel --", flush=True)
+    rows = []
+    total = 0.0
+    for (name, cnt, bg, n, d, m, k, dil, has_bias) in kernel_cases(
+            arch, size, batch):
+        x = jnp.asarray(rng.standard_normal((bg, n, d)), dt)
+        y = jnp.asarray(rng.standard_normal((bg, m, d)), dt)
+        bias = (jnp.asarray(rng.standard_normal((n, m)) * 0.1, jnp.float32)
+                if has_bias else None)
+        if not fused_fits(n, m, k, dil, d=d, itembytes=jnp.dtype(dt).itemsize):
+            continue
+
+        def fwd_bwd(a, b, bias=bias, k=k, dil=dil):
+            def loss(a2, b2):
+                _, mr = knn_mr_fused(a2, b2, bias, k, dil)
+                return jnp.sum(mr.astype(jnp.float32) ** 2)
+
+            ga, gb = jax.grad(loss, argnums=(0, 1))(a, b)
+            return (jnp.sum(ga).astype(jnp.float32)
+                    + jnp.sum(gb).astype(jnp.float32)).astype(jnp.int32)
+
+        t_fb = bench(jax.jit(fwd_bwd), x, y, iters=iters)
+        rows.append((name, cnt, t_fb * 1e3))
+        total += cnt * t_fb
+        print(f"  {name}: fwd+bwd {t_fb * 1e3:7.2f} ms  x{cnt}", flush=True)
+
+    model = GKGNetClassifier(arch=arch, n_classes=80, size=size,
+                             drop_path=0.1, dtype=dt)
+    x = jnp.zeros((batch, size, size, 3), dt)
+    gt = jnp.zeros((batch, 80), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x,
+                               optax.sgd(1e-3), ema=True)
+    sched = step_lr_with_warmup(1e-4, 1000, [10, 50], warmup_iters=5000)
+    tx = build_optimizer(state.params, sched)
+    state = state.replace(opt_state=tx.init(state.params))
+    train_step = make_train_step(model, tx, lr_schedule=sched,
+                                 ema_momentum=2e-4, donate=False)
+    batch_dict = {"img": x, "gt_label": gt}
+    key = jax.random.PRNGKey(1)
+    import time as _time
+
+    @jax.jit
+    def run_steps(state):
+        def body(st, _):
+            st, logs = train_step(st, batch_dict, key)
+            return st, logs["loss"]
+
+        return jax.lax.scan(body, state, None, length=iters)[1][-1]
+
+    np.asarray(run_steps(state))
+    t0 = _time.perf_counter()
+    np.asarray(run_steps(state))
+    t_step = (_time.perf_counter() - t0) / iters
+
+    print("\n| kernel | xN | fwd+bwd ms |")
+    print("|---|---|---|")
+    for name, cnt, ms in rows:
+        print(f"| {name} | {cnt} | {ms:.2f} |")
+    print(f"| kernel SUM | | {total * 1e3:.2f} |")
+    print(f"| FULL TRAIN STEP | | {t_step * 1e3:.2f} |")
+    print(f"\ntrain dense+loss+opt remainder: "
+          f"{(t_step - total) * 1e3:.2f} ms")
+
+
 def main():
     batch = int(os.environ.get("BD_BATCH", "8"))
     size = int(os.environ.get("BD_SIZE", "576"))
     arch = os.environ.get("BD_ARCH", "s")
     iters = int(os.environ.get("BD_ITERS", "10"))
+    mode = os.environ.get("BD_MODE", "eval")
+    if mode == "train":
+        import jax
+
+        print(f"device: {jax.devices()[0]}  batch={batch} size={size} "
+              f"arch={arch}", flush=True)
+        train_tables(arch, size, batch, iters)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -99,6 +194,26 @@ def main():
           f"arch={arch}", flush=True)
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
+
+    # full model FIRST: measuring it after the per-kernel sweep holds
+    # ~2 GB of test arrays live and reads ~75% slower (measured 135 vs
+    # 78 ms — HBM pressure changes XLA's allocation/layout decisions)
+    from gkgnet_tpu.nn.classifier import GKGNetClassifier
+
+    model = GKGNetClassifier(arch=arch, n_classes=80, size=size, dtype=dt)
+    xin = jnp.zeros((batch, size, size, 3), dt)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), xin))()
+
+    def model_scalar(v, x):
+        return jnp.sum(model.apply(v, x, train=False)[0].astype(jnp.float32))
+
+    set_knn_impl("auto")
+    t_model = bench(model_scalar, variables, xin, iters=iters)
+    set_knn_impl("xla")
+    t_model_xla = bench(model_scalar, variables, xin, iters=iters)
+    set_knn_impl("auto")
+    print(f"full model: fused {t_model*1e3:.2f} ms  xla "
+          f"{t_model_xla*1e3:.2f} ms", flush=True)
 
     total_fused = total_xla = 0.0
     rows = []
@@ -137,22 +252,6 @@ def main():
         print(f"  {name}: fused {t_f * 1e3:7.2f} ms  xla {t_x * 1e3:7.2f} ms"
               f"  x{cnt}  (fits={fits})", flush=True)
 
-    # full model, both paths
-    from gkgnet_tpu.nn.classifier import GKGNetClassifier
-
-    model = GKGNetClassifier(arch=arch, n_classes=80, size=size, dtype=dt)
-    xin = jnp.zeros((batch, size, size, 3), dt)
-    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), xin))()
-
-    def model_scalar(v, x):
-        return jnp.sum(model.apply(v, x, train=False)[0])
-
-    set_knn_impl("auto")
-    t_model = bench(model_scalar, variables, xin, iters=iters)
-    set_knn_impl("xla")
-    t_model_xla = bench(model_scalar, variables, xin, iters=iters)
-    set_knn_impl("auto")
-
     fl = model_flops(arch, size, batch)
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     print()
@@ -172,6 +271,8 @@ def main():
           f"MFU at full-model time: "
           f"{fl['total'] / t_model / peak * 100:.1f}% "
           f"(peak {peak / 1e12:.0f} TF)")
+    if mode == "both":
+        train_tables(arch, size, batch, iters)
 
 
 if __name__ == "__main__":
