@@ -23,6 +23,45 @@ import sys
 import time
 
 
+def _two_point(timed, iters, tag=""):
+    """dt/step via t(3N) - t(N): cancels the fixed per-dispatch tunnel
+    overhead. Noise guard (ADVICE r3): at small N run-to-run noise can
+    exceed the 2N-step delta and the subtraction goes negative/absurd —
+    retry once, then fall back to the single-point t(3N)/3N measurement
+    (which only *over*states dt by the amortized dispatch overhead)."""
+    for _ in range(2):
+        t3, t1 = timed(3 * iters), timed(iters)
+        dt = (t3 - t1) / (2 * iters)
+        if dt > 0 and t3 > t1 > 0:
+            return dt
+    t3 = timed(3 * iters)
+    print(f"warning: {tag} two-point timing unstable at iters={iters}; "
+          f"using single-point (includes dispatch overhead)",
+          file=sys.stderr)
+    return t3 / (3 * iters)
+
+
+def _bench_inputs(batch, size, n_classes, dtype):
+    """Representative inputs: seeded standard-normal images (a zero image
+    is a degenerate all-ties input — every pairwise distance ties, the
+    selector's exact tie path runs on every tile, and the measurement
+    reads ~2x slower than any real image; round-3's official number was
+    exactly this artifact) and a sparse multi-hot label vector.
+
+    BENCH_INPUT=zeros restores the degenerate input on purpose — the
+    worst-case perf contract (zero-vs-random gap) is measured with it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    if os.environ.get("BENCH_INPUT", "random") == "zeros":
+        x = jnp.zeros((batch, size, size, 3), dtype)
+    else:
+        x = jnp.asarray(rng.standard_normal((batch, size, size, 3)), dtype)
+    gt = jnp.asarray(rng.random((batch, n_classes)) < 0.05, jnp.float32)
+    return x, gt
+
+
 def mfu_line(ips: float, arch: str, size: int) -> str:
     from gkgnet_tpu.utils.profiling import model_flops
 
@@ -47,7 +86,7 @@ def bench_eval(batch: int, iters: int, knn_impl: str) -> float:
     set_knn_impl(knn_impl)
     model = GKGNetClassifier(arch="s", n_classes=80, size=576,
                              dtype=jnp.bfloat16)
-    x = jnp.zeros((batch, 576, 576, 3), jnp.bfloat16)
+    x, _ = _bench_inputs(batch, 576, 80, jnp.bfloat16)
     print(f"init on {jax.devices()[0]} ...", file=sys.stderr)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
 
@@ -91,7 +130,7 @@ def bench_eval(batch: int, iters: int, knn_impl: str) -> float:
         np.asarray(fwd(variables, x, n))
         return time.perf_counter() - t0
 
-    dt = (timed(3 * iters) - timed(iters)) / (2 * iters)
+    dt = _two_point(timed, iters, "eval")
     ips = batch / dt
     eps = model_edge_count("s", 576, batch) / dt
     print(f"eval: {ips:.2f} img/s (batch={batch}, {dt*1e3:.1f} ms/it, "
@@ -117,8 +156,7 @@ def bench_train(batch: int, iters: int, knn_impl: str) -> float:
     set_knn_impl(knn_impl)
     model = GKGNetClassifier(arch="s", n_classes=80, size=576,
                              drop_path=0.1, dtype=jnp.bfloat16)
-    x = jnp.zeros((batch, 576, 576, 3), jnp.bfloat16)
-    gt = jnp.zeros((batch, 80), jnp.float32)
+    x, gt = _bench_inputs(batch, 576, 80, jnp.bfloat16)
     print(f"train init ...", file=sys.stderr)
     state = create_train_state(model, jax.random.PRNGKey(0), x,
                                optax.sgd(1e-3), ema=True)
@@ -151,7 +189,7 @@ def bench_train(batch: int, iters: int, knn_impl: str) -> float:
         np.asarray(losses[-1])
         return time.perf_counter() - t0
 
-    dt = (timed(3 * iters) - timed(iters)) / (2 * iters)
+    dt = _two_point(timed, iters, "train")
     ips = batch / dt
     eps = model_edge_count("s", 576, batch) / dt
     print(f"train: {ips:.2f} img/s ({dt*1e3:.1f} ms/step, "

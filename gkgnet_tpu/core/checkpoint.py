@@ -30,11 +30,15 @@ def _mgr(directory: str, max_to_keep: int | None = None) -> ocp.CheckpointManage
 
 def save_checkpoint(directory: str, state, epoch: int, meta: dict | None = None,
                     max_to_keep: int | None = 3):
+    """Multi-process: EVERY process must call this (orbax coordinates
+    internally and only the primary host writes; a rank-0-only call
+    deadlocks on orbax's cross-process barrier — measured). The meta
+    sidecar is written by process 0 alone."""
     mgr = _mgr(directory, max_to_keep)
     mgr.save(epoch, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
-    if meta is not None:
+    if meta is not None and jax.process_index() == 0:
         with open(os.path.join(directory, f"meta_{epoch}.json"), "w") as f:
             json.dump(meta, f)
 

@@ -344,6 +344,62 @@ class AutoAug:
         return results
 
 
+class UniAug:
+    """UniAugment wrapper: 2 random ops each applied with prob 0.5 at a
+    random level (aug_lib.py:638-644)."""
+
+    def __init__(self, p=1.0):
+        from gkgnet_tpu.data.trivial_augment import UniAugment
+
+        self.p = p
+        self.aug = UniAugment()
+
+    def __call__(self, results, rng=None):
+        rng = _ensure_rng(rng)
+        if rng.random() < self.p:
+            img = Image.fromarray(results["img"])
+            results["img"] = np.asarray(self.aug(img, rng))
+        return results
+
+
+class UniAugWeighted:
+    """UniAugmentWeighted wrapper: op count drawn from ``probs``
+    (aug_lib.py:646-657)."""
+
+    def __init__(self, probs=(0.2, 0.3, 0.5), p=1.0):
+        from gkgnet_tpu.data.trivial_augment import UniAugmentWeighted
+
+        self.p = p
+        self.aug = UniAugmentWeighted(probs)
+
+    def __call__(self, results, rng=None):
+        rng = _ensure_rng(rng)
+        if rng.random() < self.p:
+            img = Image.fromarray(results["img"])
+            results["img"] = np.asarray(self.aug(img, rng))
+        return results
+
+
+class Cutout:
+    """Standalone Cutout step (aug_lib.py:305-333): zero a square patch,
+    side = level/30 x (max_frac x width)."""
+
+    def __init__(self, level=15, max_frac=0.2, p=0.5):
+        self.level = level
+        self.max_frac = max_frac
+        self.p = p
+
+    def __call__(self, results, rng=None):
+        from gkgnet_tpu.data.trivial_augment import _cutout
+
+        rng = _ensure_rng(rng)
+        if rng.random() < self.p:
+            img = Image.fromarray(results["img"])
+            results["img"] = np.asarray(
+                _cutout(img, self.level, rng, self.max_frac))
+        return results
+
+
 class CropMixup:
     """CropMix multi-scale crop mixing (pipelines/cropmix.py + the
     transforms.py:36-71 wrapper).
@@ -519,6 +575,11 @@ TRANSFORMS = {
     "ColorJitter": ColorJitter,
     "RandomErasing": RandomErasing,
     "Trivial": Trivial,
+    "RandAug": RandAug,
+    "AutoAug": AutoAug,
+    "UniAug": UniAug,
+    "UniAugWeighted": UniAugWeighted,
+    "Cutout": Cutout,
     "CropMixup": CropMixup,
     "Pad": Pad,
     "Lighting": Lighting,

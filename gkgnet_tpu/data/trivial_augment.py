@@ -13,7 +13,7 @@ pipeline is reproducible (multi-host determinism, SURVEY hard part #4).
 from __future__ import annotations
 
 import numpy as np
-from PIL import Image, ImageEnhance, ImageOps
+from PIL import Image, ImageDraw, ImageEnhance, ImageOps
 
 PARAMETER_MAX = 30
 
@@ -132,7 +132,78 @@ def _invert(img, level, rng):
     return ImageOps.invert(img)
 
 
+def _crop_bilinear(img, level, rng):
+    """Crop a level-dependent border then resize back (aug_lib.py:215-226
+    CropBilinear)."""
+    lv = _int_param(level, 10)
+    w, h = img.size
+    return img.crop((lv, lv, w - lv, h - lv)).resize((w, h), Image.BILINEAR)
+
+
+def _cutout(img, level, rng, max_frac: float = 0.2):
+    """Zero a square patch whose size scales with level
+    (aug_lib.py:305-333 Cutout/CutoutDefault; the random center matches
+    np.random.uniform(w/h) semantics with the explicit generator)."""
+    v = _int_param(level, int(img.size[0] * max_frac))
+    if v <= 0:
+        return img
+    w, h = img.size
+    x0 = int(max(0, rng.uniform(0, w) - v / 2.0))
+    y0 = int(max(0, rng.uniform(0, h) - v / 2.0))
+    img = img.copy()
+    ImageDraw.Draw(img).rectangle((x0, y0, min(w, x0 + v), min(h, y0 + v)),
+                                  (0, 0, 0))
+    return img
+
+
+class SamplePairing:
+    """Blend with a random image from a provided pool
+    (aug_lib.py:336-345 'SamplePairing'; the reference's module-global
+    ``blend_images`` becomes an explicit constructor argument)."""
+
+    def __init__(self, images):
+        assert images, "SamplePairing needs a non-empty image pool"
+        self.images = images
+
+    def __call__(self, img, level, rng):
+        other = self.images[rng.integers(len(self.images))]
+        if other.size != img.size:
+            other = other.resize(img.size, Image.BILINEAR)
+        return Image.blend(img, other.convert(img.mode),
+                           _float_param(level, 0.4))
+
+
 OPS_BY_NAME = dict(STANDARD_OPS)
+OPS_BY_NAME["invert"] = _invert
+OPS_BY_NAME["crop_bilinear"] = _crop_bilinear
+OPS_BY_NAME["cutout"] = _cutout
+
+
+class UniAugment:
+    """Two random ops, each applied with probability 0.5 at a random level
+    (aug_lib.py:638-644)."""
+
+    def __call__(self, img, rng):
+        for _ in range(2):
+            _, op = STANDARD_OPS[rng.integers(len(STANDARD_OPS))]
+            if rng.random() < 0.5:
+                img = op(img, int(rng.integers(0, PARAMETER_MAX + 1)), rng)
+        return img
+
+
+class UniAugmentWeighted:
+    """Draw the op COUNT from a categorical (probs[k] = P(k ops)), then
+    apply that many random ops at random levels (aug_lib.py:646-657)."""
+
+    def __init__(self, probs=(0.2, 0.3, 0.5)):
+        self.probs = np.asarray(probs, np.float64) / np.sum(probs)
+
+    def __call__(self, img, rng):
+        k = int(rng.choice(len(self.probs), p=self.probs))
+        for _ in range(k):
+            _, op = STANDARD_OPS[rng.integers(len(STANDARD_OPS))]
+            img = op(img, int(rng.integers(0, PARAMETER_MAX + 1)), rng)
+        return img
 OPS_BY_NAME["invert"] = _invert
 
 # AutoAugment ImageNet policy (reference datasets/pipelines/auto_augment.py:

@@ -275,7 +275,11 @@ class LabelGraphConv(nn.Module):
     def __call__(self, labels: Array, feats: Array, train: bool):
         g = self.num_group
         xn = fold_groups(labels, g)                       # (B*g, L, C/g)
-        yn = shard_nodes(fold_groups(feats, g), "targets")  # (B*g, N, C/g)
+        yn_local = fold_groups(feats, g)                  # (B*g, N, C/g)
+        # replicate the targets along the graph axis for every path EXCEPT
+        # the graph-sharded label build, which consumes them sharded
+        # (replicating first would pay the all-gather it avoids)
+        yn = shard_nodes(yn_local, "targets")
         if self.graph_builder == "perturbed":
             maxrel = _soft_maxrel(self, xn, yn, self.k, self.dilation, train)
             out = GraphAggregate(self.conv, self.in_channels,
@@ -295,12 +299,22 @@ class LabelGraphConv(nn.Module):
                 and not stochastic_now
                 and xn.shape[0] % data_axis_size() == 0):
             from gkgnet_tpu.parallel.edge_partition import (
-                _pallas_ok, replicated_knn_mr)
+                _pallas_ok, label_sharded_knn_mr, replicated_knn_mr)
 
-            idx, maxrel = replicated_knn_mr(
-                gcfg.mesh, xn, yn, k=self.k, dilation=self.dilation,
-                data_axis=gcfg.data_axis, graph_axis=gcfg.graph_axis,
-                use_pallas=_pallas_ok())
+            if yn_local.shape[1] % graph_axis_size() == 0:
+                # shard the TARGET axis over graph: local top-k*d per
+                # shard + exact lex merge — kernel cost / graph size
+                # (r3 replicated the whole label kernel along graph)
+                idx, maxrel = label_sharded_knn_mr(
+                    gcfg.mesh, xn, yn_local, k=self.k,
+                    dilation=self.dilation,
+                    data_axis=gcfg.data_axis, graph_axis=gcfg.graph_axis,
+                    use_pallas=_pallas_ok())
+            else:
+                idx, maxrel = replicated_knn_mr(
+                    gcfg.mesh, xn, yn, k=self.k, dilation=self.dilation,
+                    data_axis=gcfg.data_axis, graph_axis=gcfg.graph_axis,
+                    use_pallas=_pallas_ok())
             out = GraphAggregate(self.conv, self.in_channels,
                                  self.out_channels, self.act, self.norm,
                                  self.use_bias, g, dtype=self.dtype,

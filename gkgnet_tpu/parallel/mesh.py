@@ -40,6 +40,51 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+_BARRIER_SEQ = [0]
+
+
+def sync_processes(tag: str, timeout_ms: int = 600_000, block_on=None):
+    """Line processes up on the COORDINATION-SERVICE barrier (not a
+    device collective). The CPU gloo backend gives a fresh communicator
+    only ~30 s to form; when ranks drift apart (multi-minute jit compiles
+    under host contention, or a runtime still draining async work from
+    the previous program), the first collective dispatch of a new
+    program times out fatally. Pass ``block_on`` (any pytree of arrays,
+    e.g. the train state) to drain outstanding device work first — the
+    python barrier alone does not synchronize device streams. No-op when
+    jax.distributed is not initialized."""
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+    except Exception:  # pragma: no cover
+        client = None
+    if client is None:
+        return
+    if block_on is not None:
+        jax.block_until_ready(block_on)
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(f"gkgnet_{tag}_{_BARRIER_SEQ[0]}", timeout_ms)
+
+
+def local_batch_rows(arr) -> np.ndarray:
+    """THIS process's rows of a batch-sharded global array, in global
+    order. Multi-host jit outputs span non-addressable devices, so a
+    plain ``np.asarray`` raises; each process instead collects its
+    addressable shards (deduped when replicated along other mesh axes)
+    and concatenates them by batch offset — recovering exactly the rows
+    of its own loader shard."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    by_start: dict = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate(
+        [by_start[k] for k in sorted(by_start)], axis=0)
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -22,3 +22,47 @@ def apply_env_platform():
             jax.config.update("jax_platforms", want)
     except Exception:
         pass
+
+
+def collect_env() -> dict:
+    """Environment fingerprint logged at train start (the reference logs
+    mmcv's collect_env dump, tools/train.py:146-151; this is the TPU-world
+    equivalent: versions, backend, device inventory, XLA flags, git sha)."""
+    import platform
+    import subprocess
+    import sys
+
+    info = {
+        "python": sys.version.replace("\n", " "),
+        "platform": platform.platform(),
+        "hostname": platform.node(),
+    }
+    for mod in ("jax", "jaxlib", "flax", "optax", "orbax.checkpoint",
+                "numpy", "PIL"):
+        try:
+            m = __import__(mod)
+            info[mod] = getattr(m, "__version__", "?")
+        except Exception:
+            info[mod] = "absent"
+    try:
+        import jax
+
+        info["backend"] = jax.default_backend()
+        info["device_count"] = jax.device_count()
+        info["process_count"] = jax.process_count()
+        devs = jax.devices()
+        info["device_kind"] = devs[0].device_kind if devs else "?"
+    except Exception as e:  # pragma: no cover
+        info["backend"] = f"error: {e}"
+    info["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))))
+        if sha.returncode == 0:
+            info["git"] = sha.stdout.strip()
+    except Exception:
+        pass
+    return info

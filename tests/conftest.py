@@ -21,3 +21,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# XLA:CPU on this host lowers DEFAULT-precision fp32 convolutions/dots
+# through a bf16-accelerated path (~3e-3 relative error vs an fp64
+# oracle — measured, round 4); golden parity against torch (which is
+# exactly fp32 on CPU) needs exact fp32 math. Explicit per-op precisions
+# (the Pallas kernels, pairwise_sqdist) are unaffected by this default.
+jax.config.update("jax_default_matmul_precision", "highest")

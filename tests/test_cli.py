@@ -48,6 +48,7 @@ data = dict(
               pipeline=test_pipeline, test_mode=True),
 )
 evaluation = dict(interval=1, save_best="mAP")
+workflow = [("train", 1), ("val", 1)]
 runner = dict(max_epochs=1)
 optimizer = dict(type="adamw", lr=1e-4, weight_decay=0.05,
                  grad_clip_norm=5.0)
@@ -180,6 +181,8 @@ def test_train_then_test_cli(workspace):
     with open(os.path.join(work_dir, logs[0])) as f:
         recs = [json.loads(line) for line in f]
     assert any(r["mode"] == "val" and "mAP" in r for r in recs)
+    # two-phase workflow: the val-mode LOSS pass logged its record
+    assert any(r["mode"] == "val_loss" and "loss" in r for r in recs)
 
     out_pkl = str(root / "scores.pkl")
     res = run([sys.executable, "tools/test.py", str(cfg_path), ckpts,

@@ -201,6 +201,44 @@ def test_repeat_dataset(coco_dir):
     assert len(rd) == 36
 
 
+def test_uni_augment_cutout_crop_bilinear_blend():
+    """Round-4 aug-space completion (aug_lib.py:215-345,638-657):
+    CropBilinear / Cutout / SamplePairing ops + UniAugment[Weighted]
+    wrappers run, are rng-deterministic, and keep shape."""
+    from PIL import Image as PILImage
+
+    from gkgnet_tpu.data.pipelines import Cutout, UniAug, UniAugWeighted
+    from gkgnet_tpu.data.trivial_augment import (
+        OPS_BY_NAME, PARAMETER_MAX, SamplePairing)
+
+    img = np.random.default_rng(0).integers(0, 255, (48, 64, 3),
+                                            dtype=np.uint8)
+    for cls in (UniAug(), UniAugWeighted(probs=(0.0, 0.0, 1.0)),
+                Cutout(level=PARAMETER_MAX, p=1.0)):
+        out1 = cls({"img": img.copy()}, np.random.default_rng(3))["img"]
+        out2 = cls({"img": img.copy()}, np.random.default_rng(3))["img"]
+        assert out1.shape == img.shape and (out1 == out2).all()
+
+    # cutout at max level actually zeroes a patch
+    out = Cutout(level=PARAMETER_MAX, p=1.0)(
+        {"img": np.full((48, 64, 3), 255, np.uint8)},
+        np.random.default_rng(1))["img"]
+    assert (out == 0).any() and (out == 255).any()
+
+    pil = PILImage.fromarray(img)
+    rng = np.random.default_rng(7)
+    # crop_bilinear crops a 10px border at max level and resizes back
+    got = OPS_BY_NAME["crop_bilinear"](pil, PARAMETER_MAX, rng)
+    assert got.size == pil.size
+    assert np.abs(np.asarray(got).astype(int) - img.astype(int)).max() > 0
+
+    # SamplePairing blends toward the pool image (max level = 0.4 mix)
+    pool = [PILImage.fromarray(np.zeros((48, 64, 3), np.uint8))]
+    blended = SamplePairing(pool)(pil, PARAMETER_MAX, rng)
+    assert np.asarray(blended).mean() < img.mean()
+    assert np.asarray(blended).mean() > 0.5 * img.mean()
+
+
 def test_rand_augment_and_auto_augment():
     """RandAug / AutoAug wrappers (reference auto_augment.py — registered
     transforms) run every policy op and are rng-deterministic."""

@@ -143,9 +143,10 @@ def test_knn_mr_foldv_matches_reference(dilation, has_bias):
 
 
 def test_knn_mr_foldv_ties_exact():
-    """Quantized features force exact distance ties: every tied row must be
-    flagged and repaired by the in-kernel argmin epilogue, reproducing
-    lax.top_k first-occurrence order bitwise."""
+    """Quantized features force exact distance ties: tied rounds must be
+    resolved by the in-round exact pick (round-4 design; r3 sent them
+    through a whole-tile epilogue), reproducing lax.top_k
+    first-occurrence order bitwise."""
     from gkgnet_tpu.ops.pallas import knn_mr
 
     bg, n, d, m, k = 2, 48, 6, 160, 5
@@ -161,6 +162,60 @@ def test_knn_mr_foldv_ties_exact():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_knn_mr_foldv_constant_input_no_epilogue(dilation):
+    """Perf contract (VERDICT r3 weak #1): a CONSTANT input makes every
+    pairwise distance tie — the degenerate worst case that made the r3
+    official bench read 2x slow. Ties must now resolve IN-ROUND (exact
+    first-occurrence pick, bitwise = lax.top_k order) with the strict-
+    stale epilogue flag staying ZERO on every row — i.e. the whole-tile
+    rerun never fires, so worst-case cost stays proportional to the tie
+    count, and the dilation-skipped rounds consume tied columns in
+    lockstep (tie_sync)."""
+    from gkgnet_tpu.ops.pallas import knn_mr
+
+    bg, n, d, m, k = 2, 40, 8, 192, 3
+    x = jnp.ones((bg, n, d), jnp.float32) * 0.7
+    y = jnp.ones((bg, m, d), jnp.float32) * 0.7
+    ref_idx, ref_mr = _reference_mr(x, y, k, dilation)
+    idx, mr, flags = knn_mr._run_pallas(
+        x, y, None, k, dilation, 24, True, "foldv", debug_flags=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-6, rtol=1e-6)
+    assert int(np.asarray(flags).sum()) == 0, (
+        "all-ties input must not trigger the strict-stale epilogue")
+
+
+def test_knn_mr_foldv_hidden_tied_candidate_no_epilogue():
+    """bmin == gv (a hidden SAME-VALUE candidate in an exhausted lane's
+    uncached tail): must resolve WITHOUT the epilogue — the in-round
+    eq-compare sees the full distance matrix, and the exhausted lane's
+    tied bound is not flagged under the strict (<) stale rule. Geometry:
+    C+1 = 4 exact query copies in lane class 3 (cache depth C=3 at
+    k*d<=9, so col 387 is never cached) + 1 copy in lane class 4; k=4
+    picks must be the 4 lowest tied columns in first-occurrence order,
+    with a round popping lane 4's head while lane 3 sits exhausted at
+    bnd == gv."""
+    from gkgnet_tpu.ops.pallas import knn_mr
+
+    bg, n, d, m, k = 1, 8, 8, 896, 4
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((bg, n, d)), jnp.float32)
+    y_np = rng.standard_normal((bg, m, d)) * 10.0
+    for c in (3, 131, 259, 387, 4):     # 4 copies in lane 3, one in lane 4
+        y_np[:, c] = np.asarray(x[:, 0])
+    y = jnp.asarray(y_np, jnp.float32)
+    ref_idx, ref_mr = _reference_mr(x, y, k, 1)
+    idx, mr, flags = knn_mr._run_pallas(
+        x, y, None, k, 1, 8, True, "foldv", debug_flags=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr),
+                               atol=1e-5, rtol=1e-5)
+    assert int(np.asarray(flags).sum()) == 0, (
+        "tied hidden candidates are an in-round fix, not an epilogue trip")
 
 
 def test_knn_mr_foldv_lane_collision_epilogue():

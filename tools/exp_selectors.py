@@ -52,9 +52,12 @@ def bench(fn, *args, iters=20):
         np.asarray(run(eps, *args))
         return time.perf_counter() - t0
 
-    t1 = timed(iters)
-    t3 = timed(3 * iters)
-    return (t3 - t1) / (2 * iters)
+    for _ in range(2):
+        t3, t1 = timed(3 * iters), timed(iters)
+        if t3 > t1 > 0:
+            return (t3 - t1) / (2 * iters)
+    # noise exceeded the 2N-step delta (ADVICE r3): single-point fallback
+    return timed(3 * iters) / (3 * iters)
 
 
 def tie_aware_mismatch(idx_a, idx_b, x, y, bias, max_rows=4096):

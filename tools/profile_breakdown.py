@@ -132,8 +132,11 @@ def train_tables(arch: str, size: int, batch: int, iters: int):
 
     model = GKGNetClassifier(arch=arch, n_classes=80, size=size,
                              drop_path=0.1, dtype=dt)
-    x = jnp.zeros((batch, size, size, 3), dt)
-    gt = jnp.zeros((batch, 80), jnp.float32)
+    # representative inputs — an all-zero image is the all-ties degenerate
+    # worst case of the selection kernels (r3's "135 ms vs 78 ms" full-
+    # model anomaly was THIS, not allocation pressure)
+    x = jnp.asarray(rng.standard_normal((batch, size, size, 3)), dt)
+    gt = jnp.asarray(rng.random((batch, 80)) < 0.05, jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x,
                                optax.sgd(1e-3), ema=True)
     sched = step_lr_with_warmup(1e-4, 1000, [10, 50], warmup_iters=5000)
@@ -158,6 +161,69 @@ def train_tables(arch: str, size: int, batch: int, iters: int):
     np.asarray(run_steps(state))
     t_step = (_time.perf_counter() - t0) / iters
 
+    # ---- phase split of the non-kernel remainder (VERDICT r3 ask) ------
+    # eval fwd / train fwd (BN batch stats) / fwd+bwd / optimizer+EMA:
+    # consecutive differences attribute BN-stat passes, the backward, and
+    # the update machinery separately.
+    head = model.build_loss_head()
+    var_eval = {"params": state.params, "batch_stats": state.batch_stats,
+                "constants": state.constants}
+    rngs = {"droppath": key, "dilation": key, "perturbed": key}
+
+    def fwd_eval(v, xx):
+        return jnp.sum(model.apply(v, xx, train=False)[0].astype(jnp.float32))
+
+    def fwd_train(v, xx):
+        (score, _), _ = model.apply(v, xx, train=True, rngs=rngs,
+                                    mutable=["batch_stats"])
+        return jnp.sum(score.astype(jnp.float32))
+
+    def fwd_bwd(v, xx):
+        from gkgnet_tpu.nn.classifier import parse_losses
+
+        def loss(params):
+            (score, _), _ = model.apply(
+                {**v, "params": params}, xx, train=True, rngs=rngs,
+                mutable=["batch_stats"])
+            total, _ = parse_losses(head.loss(score, gt))
+            return total
+
+        g = jax.grad(loss)(v["params"])
+        return sum(jnp.sum(t).astype(jnp.float32)
+                   for t in jax.tree.leaves(g))
+
+    grads0 = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4, state.params)
+
+    def opt_only(o, s, eps):
+        g = jax.tree.map(lambda t: t + eps.astype(t.dtype), grads0)
+        updates, new_o = tx.update(g, o, s)
+        newp = optax.apply_updates(s, updates)
+        m = 2e-4
+        ema = jax.tree.map(lambda e, p: (1 - m) * e + m * p, s, newp)
+        return (sum(jnp.sum(t).astype(jnp.float32)
+                    for t in jax.tree.leaves(newp))
+                + sum(jnp.sum(t).astype(jnp.float32)
+                      for t in jax.tree.leaves(ema)))
+
+    t_fe = bench(fwd_eval, var_eval, x, iters=iters)
+    t_ft = bench(fwd_train, var_eval, x, iters=iters)
+    t_fb = bench(fwd_bwd, var_eval, x, iters=iters)
+
+    @jax.jit
+    def opt_run(eps_arr, o, s):
+        def body(c, e):
+            return c + opt_only(o, s, e), None
+        return jax.lax.scan(body, jnp.float32(0), eps_arr)[0]
+
+    def opt_timed(n):
+        eps = jnp.zeros((n,), jnp.float32)
+        np.asarray(opt_run(eps, state.opt_state, state.params))
+        t0 = _time.perf_counter()
+        np.asarray(opt_run(eps, state.opt_state, state.params))
+        return _time.perf_counter() - t0
+
+    t_opt = (opt_timed(3 * iters) - opt_timed(iters)) / (2 * iters)
+
     print("\n| kernel | xN | fwd+bwd ms |")
     print("|---|---|---|")
     for name, cnt, ms in rows:
@@ -166,6 +232,17 @@ def train_tables(arch: str, size: int, batch: int, iters: int):
     print(f"| FULL TRAIN STEP | | {t_step * 1e3:.2f} |")
     print(f"\ntrain dense+loss+opt remainder: "
           f"{(t_step - total) * 1e3:.2f} ms")
+    print("\n-- train phase split --")
+    print(f"| phase | ms | delta |")
+    print(f"|---|---|---|")
+    print(f"| fwd eval-mode | {t_fe*1e3:.2f} | |")
+    print(f"| fwd train-mode (BN stats, droppath) | {t_ft*1e3:.2f} "
+          f"| +{(t_ft-t_fe)*1e3:.2f} |")
+    print(f"| fwd+bwd (dual loss, grad) | {t_fb*1e3:.2f} "
+          f"| +{(t_fb-t_ft)*1e3:.2f} |")
+    print(f"| optimizer+EMA standalone | {t_opt*1e3:.2f} | |")
+    print(f"| full step (clip+sched+logvars) | {t_step*1e3:.2f} "
+          f"| +{(t_step-t_fb-t_opt)*1e3:.2f} |")
 
 
 def main():

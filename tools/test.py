@@ -27,6 +27,11 @@ def parse_args():
                         "process scores an interleaved dataset shard, "
                         "results allgathered in order (the reference's "
                         "multi_gpu_test + collect_results, apis/test.py:260-387)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for jax.distributed (default: cluster "
+                        "auto-detect — SLURM/OMPI env)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -41,7 +46,10 @@ def main():
     import jax
 
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
 
     import jax.numpy as jnp
     import numpy as np
@@ -90,6 +98,8 @@ def main():
     loader = build_dataloader(test_ds, batch, cfg.data.get("workers", 8),
                               num_replicas=world, rank=rank,
                               shuffle=False, drop_last=False)
+    from gkgnet_tpu.parallel.mesh import sync_processes
+    compiled = {}
     chunks = []
     for i, b in enumerate(loader):
         imgs = b["img"]
@@ -97,8 +107,18 @@ def main():
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
         sb = shard_batch({"img": imgs}, mesh)
-        scores = np.asarray(jax.device_get(eval_step(state, sb["img"])))
-        chunks.append(scores[: batch - pad] if pad else scores)
+        if "c" not in compiled:
+            # AOT-compile THEN barrier: a new executable's gloo
+            # communicator only waits ~30 s; concurrent compiles on a
+            # contended host skew ranks past it (measured)
+            compiled["c"] = eval_step.lower(state, sb["img"]).compile()
+            sync_processes("eval_compiled", block_on=state.params)
+        # multi-host: the jit output is a GLOBAL array; fetch only this
+        # process's rows (its own loader shard — the pad was appended to
+        # this process's local batch, so it is dropped locally too)
+        from gkgnet_tpu.parallel.mesh import local_batch_rows
+        scores = local_batch_rows(compiled["c"](state, sb["img"]))
+        chunks.append(scores[: len(scores) - pad] if pad else scores)
         if (i + 1) % 10 == 0 and rank == 0:
             logger.info(f"{(i + 1) * batch * world}/{len(test_ds)}")
     local = np.concatenate(chunks, 0)

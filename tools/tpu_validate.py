@@ -75,7 +75,8 @@ def main():
         # rate (tools/exp_selectors.py does the fp64-oracle judgement)
         idx_np, ridx_np = np.asarray(idx), np.asarray(ridx)
         match_rate = float((idx_np == ridx_np).all(-1).mean())
-        idx_ok = match_rate == 1.0 or f"{match_rate:.4f}"
+        idx_exact = match_rate == 1.0
+        idx_ok = f"{idx_exact} (rate={match_rate:.4f})"
         mr_err = float(np.abs(np.asarray(mr) - np.asarray(rmr)).max())
 
         xn, yn = l2_normalize(x), l2_normalize(y)

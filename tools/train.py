@@ -24,9 +24,20 @@ def parse_args():
     p.add_argument("--resume-from")
     p.add_argument("--load-from")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--deterministic", action="store_true",
+                   help="fully deterministic run: forces a fixed seed "
+                        "(reference set_random_seed(deterministic=True), "
+                        "tools/train.py:111-151; XLA compilation and the "
+                        "explicit-generator host pipeline are already "
+                        "bitwise-reproducible, so this only pins the seed)")
     p.add_argument("--ema", action="store_true")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for jax.distributed (default: cluster "
+                        "auto-detect — SLURM/OMPI env)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--cfg-options", nargs="+", default=[],
                    help="key=value deep overrides")
     return p.parse_args()
@@ -42,7 +53,10 @@ def main():
     import jax
 
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
 
     import jax.numpy as jnp
     import numpy as np
@@ -70,6 +84,8 @@ def main():
     if args.max_epochs:
         cfg["runner"]["max_epochs"] = args.max_epochs
     seed = args.seed if args.seed is not None else cfg.get("seed", None)
+    if args.deterministic and seed is None:
+        seed = 0
     if seed is None:
         # reference init_random_seed: rank 0 draws, broadcasts to all
         # (apis/train.py:34-64)
@@ -90,8 +106,13 @@ def main():
     cfg.dump(os.path.join(work_dir, "config.json"))
 
     rank, world = jax.process_index(), jax.process_count()
+    from gkgnet_tpu.utils.env import collect_env
+    env_info = collect_env()
+    logger.info("Environment:\n" + "\n".join(
+        f"    {k}: {v}" for k, v in env_info.items()))
     logger.info(f"devices={jax.device_count()} local={jax.local_device_count()} "
-                f"host {rank}/{world} seed={seed}")
+                f"host {rank}/{world} seed={seed} "
+                f"deterministic={args.deterministic}")
 
     mesh_cfg = cfg.get("mesh", {"data": None, "graph": 1})
     mesh = make_mesh(mesh_cfg.get("data"), mesh_cfg.get("graph", 1))
@@ -178,6 +199,12 @@ def main():
         from gkgnet_tpu.utils.tensorboard import TensorboardWriter
         tb = TensorboardWriter(os.path.join(work_dir, "tf_logs"))
 
+    # two-phase workflow: [('train', 1), ('val', 1)] adds a val-mode LOSS
+    # pass after every train epoch (reference mmcv workflow,
+    # tools/train.py:186-196 + EpochBasedRunner.val)
+    workflow = cfg.get("workflow") or [("train", 1)]
+    do_val_loss = any(tuple(w)[0] == "val" for w in workflow)
+
     # ------------------------------------------------------------------ loop
     max_epochs = cfg["runner"]["max_epochs"]
     log_interval = cfg.get("log_config", {}).get("interval", 50)
@@ -187,6 +214,8 @@ def main():
     meter = ScalarMeter()
     base_rng = jax.random.PRNGKey(seed + 1)
 
+    from gkgnet_tpu.parallel.mesh import sync_processes
+    aot = {}
     with graph_sharding(mesh, overlap=mesh_cfg.get("overlap", True)):
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
@@ -195,7 +224,17 @@ def main():
                 batch = shard_batch(
                     {"img": batch["img"], "gt_label": batch["gt_label"]}, mesh)
                 data_time = time.perf_counter() - t_data
-                state, logs = train_step(state, batch, base_rng)
+                if "train" not in aot:
+                    # multi-host: AOT-compile, then line ranks up on the
+                    # coordination-service barrier BEFORE the first
+                    # dispatch — a new executable's gloo communicator
+                    # only waits ~30 s to form, and concurrent multi-
+                    # minute compiles skew ranks past that (measured;
+                    # single-process this is a plain warm-up compile)
+                    aot["train"] = train_step.lower(
+                        state, batch, base_rng).compile()
+                    sync_processes("train_compiled")
+                state, logs = aot["train"](state, batch, base_rng)
                 meter.update({"data_time": data_time})
                 if (it + 1) % log_interval == 0:
                     logs = jax.device_get(logs)
@@ -211,6 +250,15 @@ def main():
                         tb.flush()
                 t_data = time.perf_counter()
 
+            if do_val_loss and val_ds is not None:
+                vl = run_val_loss(val_ds, model, state, local_batch, cfg,
+                                  mesh, world, rank)
+                vl = {k: float(v) for k, v in vl.items()}
+                if rank == 0 and vl:
+                    msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(vl.items()))
+                    logger.info(f"Epoch(val) [{epoch + 1}] {msg}")
+                    jlog.write("val_loss", epoch + 1, steps_per_epoch, vl)
+
             if val_ds is not None and (epoch + 1) % eval_interval == 0:
                 scores = run_eval(val_ds, eval_step, state, local_batch,
                                   cfg, mesh, world, rank)
@@ -218,31 +266,39 @@ def main():
                 if eval_step_ema is not None:
                     scores_ema = run_eval(val_ds, eval_step_ema, state,
                                           local_batch, cfg, mesh, world, rank)
+                # metrics on EVERY rank (scores are the allgathered
+                # global result, identical everywhere) so the best-
+                # checkpoint decision and the orbax save — which needs
+                # all processes to participate — stay in lockstep;
+                # logging/TB stay rank-0-only
+                eval_logger = logger if rank == 0 else None
+                metrics_dict = val_ds.evaluate(scores, logger=eval_logger)
+                key = cfg.get("evaluation", {}).get("save_best", "mAP")
+                candidates = [(metrics_dict.get(key, -1), "raw")]
+                if scores_ema is not None:
+                    ema_metrics = val_ds.evaluate(scores_ema,
+                                                  logger=eval_logger)
+                    metrics_dict.update(
+                        {f"{k}_ema": v for k, v in ema_metrics.items()})
+                    candidates.append((ema_metrics.get(key, -1), "ema"))
                 if rank == 0:
-                    metrics_dict = val_ds.evaluate(scores, logger=logger)
-                    key = cfg.get("evaluation", {}).get("save_best", "mAP")
-                    candidates = [(metrics_dict.get(key, -1), "raw")]
-                    if scores_ema is not None:
-                        ema_metrics = val_ds.evaluate(scores_ema, logger=logger)
-                        metrics_dict.update(
-                            {f"{k}_ema": v for k, v in ema_metrics.items()})
-                        candidates.append((ema_metrics.get(key, -1), "ema"))
                     jlog.write("val", epoch + 1, steps_per_epoch, metrics_dict)
                     if tb is not None:
                         tb.add_scalars(metrics_dict, epoch + 1, prefix="val/")
                         tb.flush()
-                    score, source = max(candidates)
-                    if score > best_metric:
-                        best_metric = score
-                        best_epoch = epoch + 1
-                        save_checkpoint(os.path.join(work_dir, "best"),
-                                        jax.device_get(state), epoch + 1,
-                                        {"metric": best_metric,
-                                         "weights": source})
+                score, source = max(candidates)
+                if score > best_metric:
+                    best_metric = score
+                    best_epoch = epoch + 1
+                    save_checkpoint(os.path.join(work_dir, "best"),
+                                    jax.device_get(state), epoch + 1,
+                                    {"metric": best_metric,
+                                     "weights": source})
+                    if rank == 0:
                         logger.info(
                             f"new best {key}={best_metric:.4f} ({source})")
 
-            if (epoch + 1) % ckpt_interval == 0 and rank == 0:
+            if (epoch + 1) % ckpt_interval == 0:
                 save_checkpoint(
                     os.path.join(work_dir, "checkpoints"),
                     jax.device_get(state), epoch + 1,
@@ -252,6 +308,78 @@ def main():
                         "max_to_keep", 3))
 
     logger.info(f"done. best={best_metric:.4f} @ epoch {best_epoch}")
+
+
+_VAL_LOSS_STEP = {}
+
+
+def run_val_loss(val_ds, model, state, local_batch, cfg, mesh, world, rank):
+    """Val-mode LOSS pass (no optimizer, eval BN) over the val set — the
+    mmcv workflow [('train',1),('val',1)] phase. Uses the dataset's gt
+    labels by loader order (the val pipeline collects imgs only); loss
+    averaged exactly across hosts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gkgnet_tpu.data.loader import build_dataloader
+    from gkgnet_tpu.nn.classifier import parse_losses
+    from gkgnet_tpu.parallel.mesh import shard_batch
+
+    if id(model) not in _VAL_LOSS_STEP:
+        loss_head = model.build_loss_head()
+
+        @jax.jit
+        def step(state, imgs, gt):
+            score, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants}, imgs, train=False)
+            total, logs = parse_losses(loss_head.loss(score, gt))
+            return logs
+
+        _VAL_LOSS_STEP[id(model)] = step
+    step = _VAL_LOSS_STEP[id(model)]
+
+    gts = val_ds.get_gt_labels().astype(np.float32)
+    my_rows = np.arange(len(val_ds))[rank::world]
+    loader = build_dataloader(
+        val_ds, local_batch, cfg.data.get("workers", 8),
+        num_replicas=world, rank=rank, shuffle=False, sampler=None,
+        seed=0, drop_last=False)
+    from gkgnet_tpu.parallel.mesh import sync_processes
+    compiled = {}
+    sums, count = {}, 0
+    pos = 0
+    for batch in loader:
+        imgs = batch["img"]
+        n = imgs.shape[0]
+        gt = gts[my_rows[pos:pos + n]]
+        pos += n
+        pad = local_batch - n
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
+            gt = np.concatenate([gt, np.repeat(gt[-1:], pad, axis=0)], axis=0)
+        sb = shard_batch({"img": imgs, "gt_label": gt}, mesh)
+        # the step's log scalars are means over the GLOBAL batch (every
+        # process contributes its shard and sees the same replicated
+        # value), so weighting by the local valid count already averages
+        # the whole set; trailing-batch pad rows contribute to the mean
+        # like the reference's mmcv val workflow (no unpadding there).
+        if "c" not in compiled:
+            # AOT-compile THEN line ranks up on the coordination-service
+            # barrier: the CPU gloo communicator of a new executable only
+            # waits ~30 s to form, and concurrent multi-minute compiles
+            # on a contended host skew ranks past it (measured)
+            compiled["c"] = step.lower(
+                state, sb["img"], sb["gt_label"]).compile()
+            sync_processes("val_loss_compiled", block_on=state.params)
+        logs = jax.device_get(compiled["c"](state, sb["img"],
+                                            sb["gt_label"]))
+        for k, v in logs.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * n
+        count += n
+    return {k: v / max(count, 1) for k, v in sums.items()}
 
 
 def run_eval(val_ds, eval_step, state, local_batch, cfg, mesh, world, rank):
@@ -268,6 +396,8 @@ def run_eval(val_ds, eval_step, state, local_batch, cfg, mesh, world, rank):
         val_ds, local_batch, cfg.data.get("workers", 8),
         num_replicas=world, rank=rank, shuffle=False, sampler=None,
         seed=0, drop_last=False)
+    from gkgnet_tpu.parallel.mesh import sync_processes
+    compiled = {}
     chunks = []
     for batch in loader:
         imgs = batch["img"]
@@ -277,7 +407,14 @@ def run_eval(val_ds, eval_step, state, local_batch, cfg, mesh, world, rank):
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
         sb = shard_batch({"img": imgs}, mesh)
-        scores = np.asarray(jax.device_get(eval_step(state, sb["img"])))
+        if "c" not in compiled:
+            # AOT-compile + barrier (see run_val_loss)
+            compiled["c"] = eval_step.lower(state, sb["img"]).compile()
+            sync_processes("eval_compiled", block_on=state.params)
+        # multi-host: jit outputs are GLOBAL arrays; collect only this
+        # process's rows (its own loader shard + its own pad)
+        from gkgnet_tpu.parallel.mesh import local_batch_rows
+        scores = local_batch_rows(compiled["c"](state, sb["img"]))
         if pad:
             scores = scores[:-pad]
         chunks.append(scores)
