@@ -27,19 +27,27 @@ data = dict(
     ),
 )
 
-evaluation = dict(interval=2, save_best="mAP")
-runner = dict(max_epochs=20)
+evaluation = dict(interval=5, save_best="mAP")
+runner = dict(max_epochs=50)
+
+# epoch-scale compression of the 80-epoch recipe: the lr steps sit at
+# 70%/90% of the run like [10, 50]@80ep's warm phase would after its
+# first drop; lr is raised 4x for the 200x-smaller dataset (global batch
+# 8 vs 128 also shrinks the per-step signal)
+optimizer = dict(lr=4e-4)
 
 lr_config = dict(
     policy="step",
-    step=[8, 16],
+    step=[35, 45],
     gamma=0.1,
     warmup="linear",
     warmup_ratio=1e-3,
-    warmup_iters=2,
+    warmup_iters=3,
     warmup_by_epoch=True,
 )
 
-ema = dict(enabled=True, momentum=2e-4, warmup=100)
+# EMA horizon matched to the ~1600-step run (the 2e-4 production
+# momentum averages over ~5000 steps and would never catch up here)
+ema = dict(enabled=True, momentum=5e-3, warmup=100)
 checkpoint_config = dict(interval=10, max_to_keep=1)
 log_config = dict(interval=20, tensorboard=False)

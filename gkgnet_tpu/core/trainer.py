@@ -186,6 +186,13 @@ def make_train_step(
         )
         return new_state, log_vars
 
+    # the axon remote-TPU plugin rejects donated-buffer executions with an
+    # opaque INVALID_ARGUMENT at dispatch (measured round 4; it registers
+    # under the canonical 'tpu' backend name, hence the plugin-registry
+    # check); donation is a memory optimization only, so drop it there
+    from gkgnet_tpu.utils.env import is_remote_tpu_tunnel
+
+    donate = donate and not is_remote_tpu_tunnel()
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 

@@ -210,3 +210,46 @@ def focal_loss(
     focal_weight = (alpha * target + (1.0 - alpha) * (1.0 - target)) * jnp.power(pt, gamma)
     loss = binary_cross_entropy_with_logits(pred, target) * focal_weight
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def center_loss(feats: Array, labels: Array, centers: Array) -> Array:
+    """Center loss (Wen et al. ECCV'16; reference losses/center_loss.py —
+    registered there but on no live GKGNet path). Squared distance of
+    each feature to its class center, mean over the batch. ``centers``
+    is a learnable (num_classes, feat_dim) table the caller owns (the
+    reference holds it as an nn.Parameter)."""
+    f32 = feats.astype(jnp.float32)
+    c32 = centers.astype(jnp.float32)
+    distmat = (jnp.sum(f32 * f32, axis=1, keepdims=True)
+               - 2.0 * f32 @ c32.T
+               + jnp.sum(c32 * c32, axis=1)[None, :])
+    onehot = jax.nn.one_hot(labels, centers.shape[0], dtype=jnp.float32)
+    dist = jnp.clip(distmat * onehot, 1e-12, 1e12)
+    return jnp.sum(dist) / feats.shape[0]
+
+
+def triplet_loss(feats: Array, labels: Array, margin: float = 0.3,
+                 distance: str = "euclidean") -> Array:
+    """Batch-hard triplet loss (Hermans et al.; reference
+    losses/trilet_loss.py — registered, unused by GKGNet). For each
+    anchor: hardest positive (max same-label distance) vs hardest
+    negative (min other-label distance), hinged at ``margin``. The
+    reference's per-row python mining loop becomes masked reductions."""
+    f32 = feats.astype(jnp.float32)
+    n = f32.shape[0]
+    if distance == "euclidean":
+        sq = jnp.sum(f32 * f32, axis=1)
+        dist = sq[:, None] - 2.0 * f32 @ f32.T + sq[None, :]
+        dist = jnp.sqrt(jnp.clip(dist, 1e-12, None))
+    elif distance == "cosine":
+        norm = jnp.linalg.norm(f32, axis=1, keepdims=True)
+        ln = f32 / norm
+        dist = -(ln @ ln.T)
+    else:
+        raise KeyError(f"Unsupported distance: {distance}")
+    same = labels[:, None] == labels[None, :]
+    big = jnp.float32(1e12)
+    dist_ap = jnp.max(jnp.where(same, dist, -big), axis=1)
+    dist_an = jnp.min(jnp.where(same, big, dist), axis=1)
+    # MarginRankingLoss(y=1): mean(max(0, margin - (an - ap)))
+    return jnp.mean(jnp.maximum(0.0, margin - (dist_an - dist_ap)))

@@ -858,6 +858,73 @@ def _bwd_kernel(x_ref, y_ref, idx_ref, g_ref, gx_ref, gy_ref, rel_ref, *,
     gx_ref[0] = (-g_in.astype(jnp.float32)).astype(gx_ref.dtype)
 
 
+def _bwd_kernel_batched(x_ref, y_ref, idx_ref, g_ref, gx_ref, gy_ref,
+                        rel_ref, msk_ref, *, k: int):
+    """Batched-mask variant of ``_bwd_kernel`` (round 4): the k one-hot
+    masks are built ONCE into a (k*T, M) scratch and both passes run as a
+    SINGLE big MXU matmul each — (kT, M) @ (M, D) gather and
+    (kT, M)^T-contracted (kT, D) scatter — instead of 2k small issues
+    with recomputed masks. Same math/tie semantics as _bwd_kernel;
+    selected when the mask stack fits scoped VMEM (stage kernels; the
+    large-M label kernels keep the looped variant)."""
+    i = pl.program_id(1)
+    x_in = x_ref[0]                                           # (T, D)
+    y_in = y_ref[0]                                           # (Mp, D)
+    g_in = g_ref[0]                                           # (T, D)
+    t, d = x_in.shape
+    m_pad = y_in.shape[0]
+    in_dtype = x_in.dtype
+    bf16 = in_dtype == jnp.bfloat16
+    precision = (jax.lax.Precision.DEFAULT if bf16
+                 else jax.lax.Precision.HIGHEST)
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (t, m_pad), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+    idx_all = idx_ref[0]                                      # (T, k)
+
+    @pl.when(i == 0)
+    def _():
+        gy_ref[0] = jnp.zeros((m_pad, d), gy_ref.dtype)
+
+    def build(j, _):
+        idx_j = jnp.sum(jnp.where(lane_k == j, idx_all, 0),
+                        axis=1)[:, None]                      # (T, 1)
+        msk_ref[pl.ds(j * t, t), :] = (col_m == idx_j).astype(in_dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k, build, 0)
+
+    # pass 1: all k gathers in ONE matmul
+    xj_all = jax.lax.dot_general(                             # (kT, D)
+        msk_ref[...], y_in, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision).astype(in_dtype)
+    for j in range(k):
+        rel_ref[j * t:(j + 1) * t, :] = xj_all[j * t:(j + 1) * t, :] - x_in
+
+    mr = rel_ref[0:t, :]
+    for j in range(1, k):
+        mr = jnp.maximum(mr, rel_ref[j * t:(j + 1) * t, :])
+    mr32 = mr.astype(jnp.float32)
+    cnt = jnp.zeros((t, d), jnp.float32)
+    for j in range(k):
+        cnt = cnt + (rel_ref[j * t:(j + 1) * t, :].astype(jnp.float32)
+                     == mr32).astype(jnp.float32)
+    gsc = g_in.astype(jnp.float32) / cnt
+
+    # pass 2: per-neighbor gradients staged over the rel slots, then ONE
+    # transposed matmul scatters them all
+    for j in range(k):
+        rel_j = rel_ref[j * t:(j + 1) * t, :].astype(jnp.float32)
+        rel_ref[j * t:(j + 1) * t, :] = jnp.where(
+            rel_j == mr32, gsc, 0.0).astype(in_dtype)
+    gy_ref[0] = gy_ref[0] + jax.lax.dot_general(              # (Mp, D) MXU
+        msk_ref[...], rel_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision).astype(gy_ref.dtype)
+    gx_ref[0] = (-g_in.astype(jnp.float32)).astype(gx_ref.dtype)
+
+
 def _bwd_vmem_bytes(tile_t: int, m_pad: int, k: int, d: int,
                     itembytes: int) -> int:
     return (4 * tile_t * m_pad * itembytes            # mask transients
@@ -875,8 +942,16 @@ def _bwd_pallas(x, y, idx, g_mr, k, tile_n, interpret):
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
         idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
         g_mr = jnp.pad(g_mr, ((0, 0), (0, n_pad - n), (0, 0)))
+    itembytes = jnp.dtype(x.dtype).itemsize
+    msk_bytes = k * tile_n * m * itembytes
+    batched = (2 * (_bwd_vmem_bytes(tile_n, m, k, d, itembytes)
+                    + msk_bytes) <= _VMEM_CAP)
+    kern = _bwd_kernel_batched if batched else _bwd_kernel
+    scratch = [pltpu.VMEM((k * tile_n, d), x.dtype)]
+    if batched:
+        scratch.append(pltpu.VMEM((k * tile_n, m), x.dtype))
     gx, gy = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k),
+        functools.partial(kern, k=k),
         grid=(bg, n_pad // tile_n),
         in_specs=[
             pl.BlockSpec((1, tile_n, d), lambda b, i: (b, i, 0),
@@ -898,7 +973,7 @@ def _bwd_pallas(x, y, idx, g_mr, k, tile_n, interpret):
             jax.ShapeDtypeStruct((bg, n_pad, d), x.dtype),
             jax.ShapeDtypeStruct((bg, m, d), y.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((k * tile_n, d), x.dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bg * n_pad * m * d * k,
@@ -908,8 +983,8 @@ def _bwd_pallas(x, y, idx, g_mr, k, tile_n, interpret):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=min(
             _VMEM_CAP,
             max(24 * 1024 * 1024,
-                2 * _bwd_vmem_bytes(tile_n, m, k, d,
-                                    jnp.dtype(x.dtype).itemsize)))),
+                2 * (_bwd_vmem_bytes(tile_n, m, k, d, itembytes)
+                     + (msk_bytes if batched else 0))))),
     )(x, y, idx, g_mr)
     if n_pad != n:
         gx = gx[:, :n]

@@ -24,6 +24,20 @@ def apply_env_platform():
         pass
 
 
+def is_remote_tpu_tunnel() -> bool:
+    """Whether the TPU is reached through the axon remote-execution
+    plugin (which registers its devices under the canonical 'tpu'
+    backend name, so ``jax.default_backend()`` cannot tell). The plugin
+    rejects donated-buffer executions (opaque INVALID_ARGUMENT at
+    dispatch — measured round 4), so callers gate donation on this."""
+    try:
+        from jax._src import xla_bridge as xb
+
+        return "axon" in xb._backend_factories
+    except Exception:  # pragma: no cover
+        return False
+
+
 def collect_env() -> dict:
     """Environment fingerprint logged at train start (the reference logs
     mmcv's collect_env dump, tools/train.py:146-151; this is the TPU-world

@@ -296,8 +296,19 @@ def test_bwd_pallas_matches_xla_vjp():
 
     _, vjp = jax.vjp(lambda x_, y_: _mr_from_idx(x_, y_, idx), x, y)
     gx_ref, gy_ref = vjp(g)
+    # both variants: batched-mask (fits at these shapes) and the looped
+    # large-M fallback (forced by shrinking the VMEM cap)
+    from gkgnet_tpu.ops.pallas import knn_mr as km
+
     gx, gy = _bwd_pallas(x, y, idx, g, k, 16, True)  # 3 tiles of 16
-    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
-                               atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
-                               atol=1e-5, rtol=1e-5)
+    cap = km._VMEM_CAP
+    try:
+        km._VMEM_CAP = 64 * 1024  # force the looped variant
+        gx2, gy2 = _bwd_pallas(x, y, idx, g, k, 16, True)
+    finally:
+        km._VMEM_CAP = cap
+    for got_x, got_y in ((gx, gy), (gx2, gy2)):
+        np.testing.assert_allclose(np.asarray(got_x), np.asarray(gx_ref),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(gy_ref),
+                                   atol=1e-5, rtol=1e-5)

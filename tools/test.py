@@ -108,11 +108,16 @@ def main():
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
         sb = shard_batch({"img": imgs}, mesh)
         if "c" not in compiled:
-            # AOT-compile THEN barrier: a new executable's gloo
-            # communicator only waits ~30 s; concurrent compiles on a
-            # contended host skew ranks past it (measured)
-            compiled["c"] = eval_step.lower(state, sb["img"]).compile()
-            sync_processes("eval_compiled", block_on=state.params)
+            # multi-host: AOT-compile THEN barrier — a new executable's
+            # gloo communicator only waits ~30 s; concurrent compiles on
+            # a contended host skew ranks past it (measured). Single-
+            # process: plain jit (the axon TPU plugin rejects AOT
+            # executions).
+            if world > 1:
+                compiled["c"] = eval_step.lower(state, sb["img"]).compile()
+                sync_processes("eval_compiled", block_on=state.params)
+            else:
+                compiled["c"] = eval_step
         # multi-host: the jit output is a GLOBAL array; fetch only this
         # process's rows (its own loader shard — the pad was appended to
         # this process's local batch, so it is dropped locally too)

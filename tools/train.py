@@ -229,11 +229,15 @@ def main():
                     # coordination-service barrier BEFORE the first
                     # dispatch — a new executable's gloo communicator
                     # only waits ~30 s to form, and concurrent multi-
-                    # minute compiles skew ranks past that (measured;
-                    # single-process this is a plain warm-up compile)
-                    aot["train"] = train_step.lower(
-                        state, batch, base_rng).compile()
-                    sync_processes("train_compiled")
+                    # minute compiles skew ranks past that (measured).
+                    # Single-process keeps the plain jit dispatch (the
+                    # axon TPU plugin rejects AOT executions).
+                    if world > 1:
+                        aot["train"] = train_step.lower(
+                            state, batch, base_rng).compile()
+                        sync_processes("train_compiled")
+                    else:
+                        aot["train"] = train_step
                 state, logs = aot["train"](state, batch, base_rng)
                 meter.update({"data_time": data_time})
                 if (it + 1) % log_interval == 0:
@@ -367,13 +371,17 @@ def run_val_loss(val_ds, model, state, local_batch, cfg, mesh, world, rank):
         # the whole set; trailing-batch pad rows contribute to the mean
         # like the reference's mmcv val workflow (no unpadding there).
         if "c" not in compiled:
-            # AOT-compile THEN line ranks up on the coordination-service
-            # barrier: the CPU gloo communicator of a new executable only
-            # waits ~30 s to form, and concurrent multi-minute compiles
-            # on a contended host skew ranks past it (measured)
-            compiled["c"] = step.lower(
-                state, sb["img"], sb["gt_label"]).compile()
-            sync_processes("val_loss_compiled", block_on=state.params)
+            # multi-host: AOT-compile THEN barrier — a new executable's
+            # gloo communicator only waits ~30 s to form, and concurrent
+            # multi-minute compiles skew ranks past it (measured).
+            # Single-process: plain jit (the axon TPU plugin rejects AOT
+            # executions).
+            if world > 1:
+                compiled["c"] = step.lower(
+                    state, sb["img"], sb["gt_label"]).compile()
+                sync_processes("val_loss_compiled", block_on=state.params)
+            else:
+                compiled["c"] = step
         logs = jax.device_get(compiled["c"](state, sb["img"],
                                             sb["gt_label"]))
         for k, v in logs.items():
@@ -408,9 +416,12 @@ def run_eval(val_ds, eval_step, state, local_batch, cfg, mesh, world, rank):
                 [imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
         sb = shard_batch({"img": imgs}, mesh)
         if "c" not in compiled:
-            # AOT-compile + barrier (see run_val_loss)
-            compiled["c"] = eval_step.lower(state, sb["img"]).compile()
-            sync_processes("eval_compiled", block_on=state.params)
+            # AOT-compile + barrier, multi-host only (see run_val_loss)
+            if world > 1:
+                compiled["c"] = eval_step.lower(state, sb["img"]).compile()
+                sync_processes("eval_compiled", block_on=state.params)
+            else:
+                compiled["c"] = eval_step
         # multi-host: jit outputs are GLOBAL arrays; collect only this
         # process's rows (its own loader shard + its own pad)
         from gkgnet_tpu.parallel.mesh import local_batch_rows
