@@ -55,6 +55,8 @@ def main():
         run("bench.py", env={"BENCH_INPUT": "zeros", "BENCH_MODE": "eval",
                              "BENCH_SKIP_TRAIN": "1",
                              "BENCH_SKIP_LOADER": "1"})
+    if "trainbench" in which:
+        run("bench.py", env={"BENCH_MODE": "train"})
     if "validate" in which:
         run("tools/tpu_validate.py")
     if "breakdown" in which:
