@@ -1,10 +1,12 @@
 # GKGNet-S high-res 768^2 with larger k, edge-partitioned across hosts
 # (BASELINE.json config 5): the (data x graph) mesh splits each image's
 # query-node/edge set over the 'graph' axis. With graph>1 the graph convs
-# route through the explicit shard_map paths (parallel/edge_partition.py):
-# target shards travel a ppermute ring whose ICI transfer overlaps the
-# local fused distance+top-k, with an exact (distance, index) running
-# merge — or a single all_gather with mesh=dict(..., overlap=False).
+# route through the explicit shard_map paths (parallel/edge_partition.py).
+# Default schedule is one all_gather of the (pooled, tiny) target shard —
+# at these shapes the ICI transfer is ~0.01% of the selection kernel, so
+# the ppermute ring's per-step launches/merge cost more than the transfer
+# they hide (analytic model in parallel/sharding.py; measurements in
+# SCALING_r04.json). Opt into the ring with mesh=dict(..., overlap=True).
 _base_ = ["gkgnet_coco_576.py"]
 
 work_dir = "./work_dirs/gkgnet_coco_768_dist"
@@ -44,4 +46,6 @@ data = dict(
 
 # 2D mesh: data parallel across hosts (DCN), edge/graph partition within a
 # host slice (ICI). data=None -> fill with n_devices // graph.
-mesh = dict(data=None, graph=4)
+# overlap=False: single all_gather of target shards (the measured winner —
+# see module comment above).
+mesh = dict(data=None, graph=4, overlap=False)

@@ -34,14 +34,30 @@ class GraphShardingCfg(NamedTuple):
     mesh: Mesh
     data_axis: str
     graph_axis: str
-    # ring-overlap schedule for the edge-partitioned kNN (ppermute of
-    # target shards overlapped with local selection) vs one all_gather
-    overlap: bool = True
+    # Schedule for the edge-partitioned kNN: one ``all_gather`` of the
+    # target shard (False, DEFAULT) vs a ppermute ring that overlaps the
+    # ICI transfer with local selection (True).
+    #
+    # Why all_gather is the default — analytic ICI-bytes vs compute model
+    # (v5e: ~45 GB/s/link ICI, measured kernel costs docs/PERF_BREAKDOWN_r04.md):
+    # both schedules move the same (s-1)/s * M*D bytes per device; the ring
+    # merely splits the transfer into s-1 sequential steps so it can hide
+    # under per-step selection. Overlap therefore only pays when
+    # t_gather = M*D*2B / BW_ici is a noticeable fraction of the selection
+    # kernel. At GKGNet shapes the target set is pooled and tiny:
+    # stage1 M=1296, D=40 -> 104 KB bf16 -> ~2 us over ICI, vs a ~15 ms
+    # selection kernel (0.01%). The ring's price — s-1 separate kernel
+    # launches, an exact (distance, index) running merge, and lockstep
+    # ppermute latency — dwarfs the transfer it hides, and every
+    # measurement taken agrees (SCALING_r04.json: ring at 0.32-0.70x of
+    # all_gather for s>1). Ring would only win at M*D*2B / BW_ici ≳
+    # 0.1 * t_select, i.e. targets hundreds of MB large — not this model.
+    overlap: bool = False
 
 
 @contextmanager
 def graph_sharding(mesh: Mesh, data_axis: str = "data",
-                   graph_axis: str = "graph", overlap: bool = True):
+                   graph_axis: str = "graph", overlap: bool = False):
     token = _ACTIVE.set(GraphShardingCfg(mesh, data_axis, graph_axis, overlap))
     try:
         yield

@@ -216,7 +216,7 @@ def main():
 
     from gkgnet_tpu.parallel.mesh import sync_processes
     aot = {}
-    with graph_sharding(mesh, overlap=mesh_cfg.get("overlap", True)):
+    with graph_sharding(mesh, overlap=mesh_cfg.get("overlap", False)):
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
             t_data = time.perf_counter()
