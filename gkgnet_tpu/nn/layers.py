@@ -118,9 +118,18 @@ class PointwiseConv(nn.Module):
         kernel = self.param(
             "kernel", kaiming_normal, (g, cin // g, self.features // g), jnp.float32
         ).astype(self.dtype)
-        xg = x.reshape(*x.shape[:-1], g, cin // g).astype(self.dtype)
-        y = jnp.einsum("...gi,gio->...go", xg, kernel)
-        y = y.reshape(*x.shape[:-1], self.features)
+        # Flatten every leading dim into one row axis: XLA lowers a clean
+        # 2D (g=1) / 3D-batched (g>1) dot instead of threading a dummy
+        # group dim through a 5D tensor — the round-5 trace showed the 5D
+        # form picking a bad layout ((B,H,W,1,4C) with the size-1 dim
+        # major) and costing ~1 ms per FFN conv at stage-1 geometry.
+        lead = x.shape[:-1]
+        if g == 1:
+            y = x.reshape(-1, cin).astype(self.dtype) @ kernel[0]
+        else:
+            xg = x.reshape(-1, g, cin // g).astype(self.dtype)
+            y = jnp.einsum("ngi,gio->ngo", xg, kernel)
+        y = y.reshape(*lead, self.features)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

@@ -63,6 +63,9 @@ def main():
         run("tools/profile_breakdown.py", env={"BD_MODE": "both"})
     if "exp" in which:
         run("tools/exp_round4.py")
+    if "exp5" in which:
+        run("tools/exp_round5_dense.py",
+            env={"EXP5": os.environ.get("EXP5", "profile")})
 
 
 if __name__ == "__main__":
