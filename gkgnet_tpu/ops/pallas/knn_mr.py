@@ -75,11 +75,30 @@ def _scoped_vmem_bytes_foldv(tile_t: int, m_pad: int, cache_c: int,
     return int(big) + small + 2 * m_pad * d * itembytes + m_pad * 32
 
 
+def _pick_tile(n: int, tile_n: int = 256) -> int:
+    """Waste-free query tiling. Every padded row costs the same VMEM
+    touches as a real one, so prefer (a) a single slightly-larger tile
+    when n is barely above tile_n (stage4: 324 -> one 328-row tile, not
+    2x256 = 512 rows), and (b) an exact divisor of n just below tile_n
+    (stage3: 1296 -> 6x216 exact, not 6x256 = 1536 rows, -16%). The r4
+    tile sweep showed 128 is 35-41% slower and 512+ slower still, so the
+    divisor search stays within [tile_n-64, tile_n]."""
+    n8 = _round_up(n, 8)
+    if n8 <= tile_n + tile_n // 2:
+        return n8
+    if n % tile_n == 0:
+        return tile_n
+    for t in range(tile_n - 8, tile_n - 64 - 1, -8):
+        if n % t == 0:
+            return t
+    return tile_n
+
+
 def fused_fits(n: int, m: int, k: int, dilation: int = 1,
                tile_n: int = 256, d: int = 0, itembytes: int = 4) -> bool:
     """Whether the fused kernel's scoped VMEM fits on-chip at these shapes
     (callers fall back to the XLA path otherwise)."""
-    t = min(tile_n, _round_up(n, 8))
+    t = _pick_tile(n, tile_n)
     if _use_foldv(m):
         return _scoped_vmem_bytes_foldv(
             t, _round_up(m, 128), _cache_depth(k * dilation), d,
@@ -572,7 +591,7 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
     perf-contract tests assert it stays zero on tie-heavy inputs)."""
     bg, n, d = x.shape
     m = y.shape[1]
-    tile_n = min(tile_n, _round_up(n, 8))
+    tile_n = _pick_tile(n, tile_n)
     n_pad = _round_up(n, tile_n)
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
 
@@ -936,7 +955,7 @@ def _bwd_vmem_bytes(tile_t: int, m_pad: int, k: int, d: int,
 def _bwd_pallas(x, y, idx, g_mr, k, tile_n, interpret):
     bg, n, d = x.shape
     m = y.shape[1]
-    tile_n = min(tile_n, _round_up(n, 8))
+    tile_n = _pick_tile(n, tile_n)
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -1004,7 +1023,7 @@ def _bwd(k, dilation, tile_n, interpret, res, g):
     # max-relative is differentiated
     interp = interpret or jax.default_backend() not in ("tpu", "axon")
     fits = _bwd_vmem_bytes(
-        min(tile_n, _round_up(x.shape[1], 8)), y.shape[1], k, x.shape[2],
+        _pick_tile(x.shape[1], tile_n), y.shape[1], k, x.shape[2],
         jnp.dtype(x.dtype).itemsize) * 2 <= _VMEM_CAP
     if fits:
         gx, gy = _bwd_pallas(x, y, idx, g_mr, k, tile_n, interp)
