@@ -22,7 +22,7 @@ import os
 from typing import Sequence
 
 import numpy as np
-from PIL import Image, ImageEnhance
+from PIL import Image
 
 from gkgnet_tpu.data.trivial_augment import TrivialAugment
 
@@ -61,14 +61,41 @@ class Compose:
 
 class LoadImageFromFile:
     """PIL load -> RGB uint8 HWC + shape/meta fields
-    (pipelines/loading.py:19-145)."""
+    (pipelines/loading.py:19-145).
+
+    ``cache_mb > 0`` keeps decoded images in a process-wide FIFO cache
+    (shared by thread workers; per-process in process mode). RepeatAug
+    sampling revisits every image 3x per epoch and epochs revisit all of
+    them, so decode (~4 ms per 640x480 JPEG, tools/profile_loader.py)
+    amortizes to near zero once the working set fits. Returns a copy on
+    hit so in-place transforms can never corrupt the cache."""
+
+    _cache: dict = {}
+    _cache_bytes = 0
+
+    def __init__(self, cache_mb: int = 0, to_float32: bool = False):
+        self.cache_budget = int(cache_mb) * (1 << 20)
+        del to_float32  # config-parity arg; images convert at Normalize
 
     def __call__(self, results, rng=None):
         if "img" not in results:
             path = os.path.join(results.get("img_prefix", ""),
                                 results["img_info"]["filename"])
-            with Image.open(path) as im:
-                img = np.asarray(im.convert("RGB"))
+            img = self._cache.get(path) if self.cache_budget else None
+            if img is not None:
+                img = img.copy()
+            else:
+                with Image.open(path) as im:
+                    img = np.asarray(im.convert("RGB"))
+                if self.cache_budget:
+                    cls = LoadImageFromFile
+                    while (cls._cache_bytes + img.nbytes > self.cache_budget
+                           and cls._cache):
+                        old = cls._cache.pop(next(iter(cls._cache)))
+                        cls._cache_bytes -= old.nbytes
+                    if img.nbytes <= self.cache_budget:
+                        cls._cache[path] = img
+                        cls._cache_bytes += img.nbytes
             results["filename"] = path
             results["ori_filename"] = results["img_info"]["filename"]
             results["img"] = img
@@ -216,7 +243,12 @@ class Normalize:
 
 class ColorJitter:
     """brightness/contrast/saturation jitter, torchvision semantics (random
-    factor in [max(0, 1-v), 1+v], random order; PIL enhancers)."""
+    factor in [max(0, 1-v), 1+v], random order). Runs as a GIL-free float
+    pass chain (native/fastops.cpp color_jitter; ITU-R 601 luma, clip
+    after every op) — PIL's enhance round-tripped a uint8 Image per op and
+    measured 22-29% of per-sample host cost. The upstream reference uses
+    yet another implementation (cv2 LUTs), so exact PIL bit-parity was
+    never the contract; determinism across hosts/worker modes is."""
 
     def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0):
         self.brightness, self.contrast, self.saturation = \
@@ -224,22 +256,21 @@ class ColorJitter:
 
     def __call__(self, results, rng=None):
         rng = _ensure_rng(rng)
-        img = Image.fromarray(results["img"])
+        from gkgnet_tpu.native import color_jitter
+
         ops = []
         if self.brightness > 0:
-            ops.append((ImageEnhance.Brightness,
-                        rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)))
+            ops.append((0, rng.uniform(max(0, 1 - self.brightness),
+                                       1 + self.brightness)))
         if self.contrast > 0:
-            ops.append((ImageEnhance.Contrast,
-                        rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)))
+            ops.append((1, rng.uniform(max(0, 1 - self.contrast),
+                                       1 + self.contrast)))
         if self.saturation > 0:
-            ops.append((ImageEnhance.Color,
-                        rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)))
+            ops.append((2, rng.uniform(max(0, 1 - self.saturation),
+                                       1 + self.saturation)))
         order = rng.permutation(len(ops))
-        for i in order:
-            enhancer, factor = ops[i]
-            img = enhancer(img).enhance(factor)
-        results["img"] = np.asarray(img)
+        results["img"] = color_jitter(
+            np.ascontiguousarray(results["img"]), [ops[i] for i in order])
         return results
 
 
@@ -436,7 +467,11 @@ class CropMixup:
             rng, img.shape[0], img.shape[1], scale, (3 / 4, 4 / 3))
         pil = Image.fromarray(img[y1:y1 + ch, x1:x1 + cw])
         pil = pil.resize(self.size[::-1], Image.BILINEAR)
-        return np.asarray(pil).astype(np.float32) / 255.0
+        # views stay uint8: the blend chain runs 255-scale in native code
+        # (native/fastops.cpp mix_chain), which skips a float32 /255
+        # conversion per view + 2-3 numpy temporaries per blend pass —
+        # measured 54% of per-sample host cost (tools/profile_loader.py)
+        return np.asarray(pil)
 
     def _mixup(self, v1, v2, lam, rng):
         if self.inter_aug:
@@ -479,14 +514,28 @@ class CropMixup:
                 n = int(rng.choice([2, 3, 4]))
             views = self._views(img, n, rng)
             order = rng.permutation(n)
-            mixed = views[order[0]]
-            for i in order[1:]:
-                if self.operation == 0:
-                    lam = rng.beta(self.mix_ratio / n, self.mix_ratio / n)
-                    mixed = self._mixup(mixed, views[i], lam, rng)
-                else:
+            if self.operation == 0:
+                # same rng draw order as the per-pass loop: beta, then the
+                # channel permutation (when inter_aug)
+                from gkgnet_tpu.native import mix_chain
+
+                plan = []
+                for _ in order[1:]:
+                    lam = float(rng.beta(self.mix_ratio / n,
+                                         self.mix_ratio / n))
+                    if self.inter_aug:
+                        perm = rng.permutation(3)
+                        side = 1 if lam > 0.5 else 2
+                    else:
+                        perm = (0, 1, 2)
+                        side = 0
+                    plan.append((lam, side, *(int(p) for p in perm)))
+                results["img"] = mix_chain([views[i] for i in order], plan)
+            else:
+                mixed = views[order[0]]
+                for i in order[1:]:
                     mixed = self._cutmix(mixed, views[i], rng)
-            results["img"] = np.clip(mixed * 255.0, 0, 255).astype(np.uint8)
+                results["img"] = np.ascontiguousarray(mixed)
         else:
             pil = Image.fromarray(img).resize(self.size[::-1], Image.BICUBIC)
             results["img"] = np.asarray(pil)

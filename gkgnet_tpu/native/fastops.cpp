@@ -201,11 +201,263 @@ PyObject* collate_normalize(PyObject*, PyObject* args) {
   Py_RETURN_NONE;
 }
 
+// mix_chain: the CropMixup blend recursion in one GIL-free pass chain.
+//
+//   mix_chain(views: list[uint8 (H, W, 3) C-contig], plan: list[(lam,
+//             perm_side, p0, p1, p2)], out: uint8 (H, W, 3)) -> None
+//
+// buf = float(views[0]); for each pass i (view = views[i+1]):
+//   perm_side 0: buf = lam*buf + (1-lam)*view
+//   perm_side 1: buf = lam*buf + (1-lam)*view[..., perm]
+//   perm_side 2: buf = lam*buf[..., perm] + (1-lam)*view
+// out = uint8(clip(buf, 0, 255))  (truncating cast, numpy semantics).
+//
+// Replaces the numpy chain in data/pipelines.py CropMixup, which paid a
+// float32 /255 conversion per view plus 2-3 full-image numpy temporaries
+// per blend pass under the GIL (measured 54% of the per-sample host cost;
+// tools/profile_loader.py).
+PyObject* mix_chain(PyObject*, PyObject* args) {
+  PyObject *views_obj, *plan_obj, *out_obj;
+  if (!PyArg_ParseTuple(args, "OOO", &views_obj, &plan_obj, &out_obj))
+    return nullptr;
+
+  PyObject* views = PySequence_Fast(views_obj, "views must be a sequence");
+  if (!views) return nullptr;
+  PyObject* plan = PySequence_Fast(plan_obj, "plan must be a sequence");
+  if (!plan) {
+    Py_DECREF(views);
+    return nullptr;
+  }
+  Py_ssize_t n_views = PySequence_Fast_GET_SIZE(views);
+  Py_ssize_t n_pass = PySequence_Fast_GET_SIZE(plan);
+  bool ok = n_views >= 1 && n_pass == n_views - 1;
+  if (!ok) PyErr_SetString(PyExc_ValueError, "need len(plan) == len(views)-1");
+
+  struct Pass {
+    float lam;
+    int side;
+    int perm[3];
+  };
+  std::vector<Pass> passes(ok ? n_pass : 0);
+  for (Py_ssize_t i = 0; ok && i < n_pass; ++i) {
+    PyObject* item = PySequence_Fast_GET_ITEM(plan, i);
+    PyObject* t = PySequence_Fast(item, "plan entries must be sequences");
+    if (!t || PySequence_Fast_GET_SIZE(t) != 5) {
+      Py_XDECREF(t);
+      PyErr_SetString(PyExc_ValueError, "plan entry must be length-5");
+      ok = false;
+      break;
+    }
+    passes[i].lam =
+        static_cast<float>(PyFloat_AsDouble(PySequence_Fast_GET_ITEM(t, 0)));
+    passes[i].side =
+        static_cast<int>(PyLong_AsLong(PySequence_Fast_GET_ITEM(t, 1)));
+    for (int c = 0; c < 3; ++c)
+      passes[i].perm[c] =
+          static_cast<int>(PyLong_AsLong(PySequence_Fast_GET_ITEM(t, 2 + c)));
+    Py_DECREF(t);
+    if (PyErr_Occurred()) ok = false;
+  }
+
+  Py_buffer out;
+  out.buf = nullptr;
+  std::vector<Py_buffer> vb(ok ? n_views : 0);
+  Py_ssize_t acquired = 0;
+  Py_ssize_t len = 0;
+  if (ok && !get_buffer(out_obj, &out,
+                        PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE | PyBUF_FORMAT,
+                        "out"))
+    ok = false;
+  if (ok) {
+    len = out.len;
+    for (Py_ssize_t i = 0; i < n_views && ok; ++i) {
+      PyObject* item = PySequence_Fast_GET_ITEM(views, i);
+      if (!get_buffer(item, &vb[i], PyBUF_C_CONTIGUOUS | PyBUF_FORMAT,
+                      "view")) {
+        ok = false;
+        break;
+      }
+      ++acquired;
+      if (vb[i].itemsize != 1 || vb[i].len != len || len % 3 != 0) {
+        PyErr_SetString(PyExc_ValueError, "views must be uint8, same shape");
+        ok = false;
+      }
+    }
+  }
+
+  if (ok) {
+    Py_BEGIN_ALLOW_THREADS
+    const Py_ssize_t n_pix = len / 3;
+    std::vector<float> buf(static_cast<size_t>(len));
+    {
+      const uint8_t* s = static_cast<const uint8_t*>(vb[0].buf);
+      for (Py_ssize_t j = 0; j < len; ++j) buf[j] = static_cast<float>(s[j]);
+    }
+    for (Py_ssize_t i = 0; i < n_pass; ++i) {
+      const Pass& ps = passes[i];
+      const uint8_t* v = static_cast<const uint8_t*>(vb[i + 1].buf);
+      const float lam = ps.lam, inv = 1.0f - ps.lam;
+      float* b = buf.data();
+      if (ps.side == 0) {
+        for (Py_ssize_t j = 0; j < len; ++j)
+          b[j] = lam * b[j] + inv * static_cast<float>(v[j]);
+      } else if (ps.side == 1) {
+        const int p0 = ps.perm[0], p1 = ps.perm[1], p2 = ps.perm[2];
+        const uint8_t* s = v;
+        for (Py_ssize_t p = 0; p < n_pix; ++p, b += 3, s += 3) {
+          b[0] = lam * b[0] + inv * static_cast<float>(s[p0]);
+          b[1] = lam * b[1] + inv * static_cast<float>(s[p1]);
+          b[2] = lam * b[2] + inv * static_cast<float>(s[p2]);
+        }
+      } else {
+        const int p0 = ps.perm[0], p1 = ps.perm[1], p2 = ps.perm[2];
+        const uint8_t* s = v;
+        for (Py_ssize_t p = 0; p < n_pix; ++p, b += 3, s += 3) {
+          const float b0 = b[p0], b1 = b[p1], b2 = b[p2];
+          b[0] = lam * b0 + inv * static_cast<float>(s[0]);
+          b[1] = lam * b1 + inv * static_cast<float>(s[1]);
+          b[2] = lam * b2 + inv * static_cast<float>(s[2]);
+        }
+      }
+    }
+    uint8_t* d = static_cast<uint8_t*>(out.buf);
+    const float* b = buf.data();
+    for (Py_ssize_t j = 0; j < len; ++j) {
+      float x = b[j];
+      x = x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
+      d[j] = static_cast<uint8_t>(x);  // truncate: numpy astype semantics
+    }
+    Py_END_ALLOW_THREADS
+  }
+
+  for (Py_ssize_t i = 0; i < acquired; ++i) PyBuffer_Release(&vb[i]);
+  if (out.buf) PyBuffer_Release(&out);
+  Py_DECREF(plan);
+  Py_DECREF(views);
+  if (!ok) return nullptr;
+  Py_RETURN_NONE;
+}
+
+// color_jitter: brightness/contrast/saturation enhance chain in one
+// GIL-free float pass per op (no PIL Image round-trips, no uint8
+// intermediates between ops).
+//
+//   color_jitter(img: uint8 (H, W, 3) C-contig, ops: list[(kind, factor)],
+//                out: uint8 same shape) -> None
+//   kind 0 = brightness (v *= f)
+//   kind 1 = contrast   (v = f*v + (1-f)*mean(L))   [L of current state]
+//   kind 2 = saturation (v = f*v + (1-f)*L(pixel))
+//
+// L = (299 R + 587 G + 114 B) / 1000 (ITU-R 601, PIL "L"). Values clip to
+// [0, 255] after every op (mirroring uint8 storage between PIL enhances);
+// the final store rounds to nearest. torchvision-style semantics — the
+// upstream reference itself uses a third implementation (cv2 LUTs,
+// mmcls pipelines/transforms.py ColorJitter), so exact PIL bit-parity is
+// not a contract; determinism is (same input + factors -> same output
+// on every host and worker mode).
+PyObject* color_jitter(PyObject*, PyObject* args) {
+  PyObject *img_obj, *ops_obj, *out_obj;
+  if (!PyArg_ParseTuple(args, "OOO", &img_obj, &ops_obj, &out_obj))
+    return nullptr;
+
+  PyObject* ops = PySequence_Fast(ops_obj, "ops must be a sequence");
+  if (!ops) return nullptr;
+  Py_ssize_t n_ops = PySequence_Fast_GET_SIZE(ops);
+  struct Op {
+    int kind;
+    float factor;
+  };
+  std::vector<Op> plan(n_ops);
+  bool ok = true;
+  for (Py_ssize_t i = 0; i < n_ops && ok; ++i) {
+    PyObject* t = PySequence_Fast(PySequence_Fast_GET_ITEM(ops, i),
+                                  "op must be (kind, factor)");
+    if (!t || PySequence_Fast_GET_SIZE(t) != 2) {
+      Py_XDECREF(t);
+      PyErr_SetString(PyExc_ValueError, "op must be (kind, factor)");
+      ok = false;
+      break;
+    }
+    plan[i].kind = static_cast<int>(PyLong_AsLong(PySequence_Fast_GET_ITEM(t, 0)));
+    plan[i].factor =
+        static_cast<float>(PyFloat_AsDouble(PySequence_Fast_GET_ITEM(t, 1)));
+    Py_DECREF(t);
+    if (PyErr_Occurred()) ok = false;
+  }
+
+  Py_buffer img, out;
+  img.buf = out.buf = nullptr;
+  if (ok && !get_buffer(img_obj, &img, PyBUF_C_CONTIGUOUS | PyBUF_FORMAT,
+                        "img"))
+    ok = false;
+  if (ok && !get_buffer(out_obj, &out,
+                        PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE | PyBUF_FORMAT,
+                        "out")) {
+    ok = false;
+  }
+  if (ok && (img.itemsize != 1 || out.itemsize != 1 || img.len != out.len ||
+             img.len % 3 != 0)) {
+    PyErr_SetString(PyExc_ValueError, "img/out must be uint8 (H, W, 3)");
+    ok = false;
+  }
+
+  if (ok) {
+    Py_BEGIN_ALLOW_THREADS
+    const Py_ssize_t len = img.len;
+    const Py_ssize_t n_pix = len / 3;
+    const uint8_t* s = static_cast<const uint8_t*>(img.buf);
+    std::vector<float> buf(static_cast<size_t>(len));
+    for (Py_ssize_t j = 0; j < len; ++j) buf[j] = static_cast<float>(s[j]);
+    auto clip = [](float x) {
+      return x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
+    };
+    for (const Op& op : plan) {
+      const float f = op.factor, inv = 1.0f - op.factor;
+      float* b = buf.data();
+      if (op.kind == 0) {
+        for (Py_ssize_t j = 0; j < len; ++j) b[j] = clip(b[j] * f);
+      } else if (op.kind == 1) {
+        double sum = 0.0;
+        const float* p = buf.data();
+        for (Py_ssize_t q = 0; q < n_pix; ++q, p += 3)
+          sum += (299.0f * p[0] + 587.0f * p[1] + 114.0f * p[2]) * 1e-3f;
+        const float mean = static_cast<float>(sum / n_pix);
+        const float add = inv * mean;
+        for (Py_ssize_t j = 0; j < len; ++j) b[j] = clip(f * b[j] + add);
+      } else {
+        for (Py_ssize_t q = 0; q < n_pix; ++q, b += 3) {
+          const float L =
+              (299.0f * b[0] + 587.0f * b[1] + 114.0f * b[2]) * 1e-3f;
+          const float add = inv * L;
+          b[0] = clip(f * b[0] + add);
+          b[1] = clip(f * b[1] + add);
+          b[2] = clip(f * b[2] + add);
+        }
+      }
+    }
+    uint8_t* d = static_cast<uint8_t*>(out.buf);
+    const float* b = buf.data();
+    for (Py_ssize_t j = 0; j < len; ++j)
+      d[j] = static_cast<uint8_t>(clip(b[j]) + 0.5f);
+    Py_END_ALLOW_THREADS
+  }
+
+  if (img.buf) PyBuffer_Release(&img);
+  if (out.buf) PyBuffer_Release(&out);
+  Py_DECREF(ops);
+  if (!ok) return nullptr;
+  Py_RETURN_NONE;
+}
+
 PyMethodDef kMethods[] = {
     {"normalize_u8", normalize_u8, METH_VARARGS,
      "GIL-free uint8 (...,3) -> normalized float32"},
     {"collate_normalize", collate_normalize, METH_VARARGS,
      "GIL-free fused stack+normalize of a list of HWC uint8 images"},
+    {"mix_chain", mix_chain, METH_VARARGS,
+     "GIL-free CropMixup blend chain over uint8 views"},
+    {"color_jitter", color_jitter, METH_VARARGS,
+     "GIL-free brightness/contrast/saturation enhance chain"},
     {nullptr, nullptr, 0, nullptr},
 };
 

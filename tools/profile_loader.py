@@ -89,13 +89,14 @@ def per_transform(tmp, ann_file, n_samples):
 
 
 def cropmix_split(tmp, ann_file, n_samples):
-    """Decompose CropMixup: views (crop+resize+tofloat) vs blends vs
-    final uint8 round-trip."""
+    """Decompose CropMixup (current uint8 + native mix_chain flow):
+    views (PIL crop+resize) vs the fused blend chain."""
     from gkgnet_tpu.data.pipelines import CropMixup
+    from gkgnet_tpu.native import mix_chain
 
     cm = CropMixup(p=1.0, size=576)
     img = np.asarray(Image.open(os.path.join(tmp, "im0.jpg")).convert("RGB"))
-    t_views = t_blend = t_round = 0.0
+    t_views = t_blend = 0.0
     for s in range(n_samples):
         rng = np.random.default_rng((1, s))
         n = int(rng.choice([2, 3, 4]))
@@ -103,21 +104,19 @@ def cropmix_split(tmp, ann_file, n_samples):
         views = cm._views(img, n, rng)
         t1 = time.perf_counter()
         order = rng.permutation(n)
-        mixed = views[order[0]]
-        for i in order[1:]:
-            lam = rng.beta(cm.mix_ratio / n, cm.mix_ratio / n)
-            mixed = cm._mixup(mixed, views[i], lam, rng)
+        plan = []
+        for _ in order[1:]:
+            lam = float(rng.beta(cm.mix_ratio / n, cm.mix_ratio / n))
+            perm = rng.permutation(3)
+            plan.append((lam, 1 if lam > 0.5 else 2, *map(int, perm)))
+        out = mix_chain([views[i] for i in order], plan)
         t2 = time.perf_counter()
-        out = np.clip(mixed * 255.0, 0, 255).astype(np.uint8)
-        t3 = time.perf_counter()
         t_views += t1 - t0
         t_blend += t2 - t1
-        t_round += t3 - t2
         del out
     print(f"\n-- CropMixup split ({n_samples} samples, p=1, mean n=3) --")
-    print(f"  views (n x crop+resize+tofloat): {t_views / n_samples * 1e3:7.2f} ms")
-    print(f"  blend passes (mixup lerps):      {t_blend / n_samples * 1e3:7.2f} ms")
-    print(f"  clip*255 -> uint8:               {t_round / n_samples * 1e3:7.2f} ms")
+    print(f"  views (n x PIL crop+resize):      {t_views / n_samples * 1e3:7.2f} ms")
+    print(f"  fused native blend chain + store: {t_blend / n_samples * 1e3:7.2f} ms")
 
 
 def end_to_end(tmp, ann_file, batch=8, epochs=3):
