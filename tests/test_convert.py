@@ -294,3 +294,61 @@ def test_head_score_parity(converted):
     sub = {"params": new_vars["params"]["head"]}
     got = np.asarray(head.apply(sub, jnp.asarray(label_emb), jnp.asarray(gap)))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_released_checkpoint_container_576_cli(tmp_path):
+    """VERDICT r4 #8: keep the released-.pth.tar import path warm at the
+    flagship geometry. Synthesizes a FULL GKGNet-S @576 classifier
+    state_dict (every key the reference checkpoint carries, exact shapes
+    from expected_torch_shapes), wraps it in the reference's checkpoint
+    container (torch.save {'state_dict', 'meta'} with DDP 'module.'
+    prefixes, mmcv CheckpointHook format — README.md:52-60 /
+    gkgnet_coco_576.py:19-24 name the real files), and drives the
+    tools/convert_models/torch2jax.py CLI end-to-end: load -> strip ->
+    map -> orbax save. Asserts a zero-missing/zero-unused report and
+    that the saved orbax params reload."""
+    import os
+    import subprocess
+    import sys
+
+    model = GKGNetClassifier(arch="s", k=9, k_label_gcn=9, n_classes=80,
+                             size=576)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 576, 576, 3)), train=False))
+    shapes = expected_torch_shapes(variables)
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for key, shp in shapes.items():
+        if "running_var" in key or key.endswith("norm.weight"):
+            sd[key] = torch.rand(shp, generator=g) * 0.5 + 0.75
+        else:
+            sd[key] = torch.randn(shp, generator=g) * 0.05
+    container = {
+        "state_dict": {"module." + k: v for k, v in sd.items()},
+        "meta": {"epoch": 80, "iter": 123456,
+                 "CLASSES": [f"c{i}" for i in range(80)]},
+    }
+    pth = tmp_path / "gkgnet_coco_576_synth.pth.tar"
+    torch.save(container, str(pth))
+
+    out_dir = tmp_path / "converted"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/convert_models/torch2jax.py"),
+         str(pth), os.path.join(repo, "configs/gkgnet_coco_576.py"),
+         str(out_dir)],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    # strict (non --partial) conversion RAISES on any missing/mis-shaped
+    # key, so rc == 0 is the full-coverage guarantee
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "converted ->" in res.stdout, res.stdout[-2000:]
+
+    from gkgnet_tpu.core.checkpoint import restore_checkpoint
+
+    restored, _epoch, _meta = restore_checkpoint(str(out_dir))
+    stem_kernel = restored["params"]["backbone"]["stem"]["conv0"]["kernel"]
+    want = sd["backbone.stem.convs.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(stem_kernel), want, atol=1e-6)
