@@ -14,10 +14,29 @@ _base_ = ["gkgnet_synthetic_576.py"]
 
 work_dir = "./work_dirs/gkgnet_synth_long"
 
+img_norm = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375])
+
+# same stack as the flagship recipe + the decoded-image cache: the 1024
+# 480^2 images are ~700 MB decoded, and ClassBalanced+RepeatAug revisit
+# each one 3+ times per epoch
+train_pipeline = [
+    dict(type="LoadImageFromFile", cache_mb=1024),
+    dict(type="CropMixup", p=0.5, size=576, scale=0.01, number=234),
+    dict(type="RandomFlip", flip_prob=0.5, direction="horizontal"),
+    dict(type="RandomErasing", erase_prob=0.5, mode="rand",
+         min_area_ratio=0.02, max_area_ratio=1 / 3,
+         fill_color=img_norm["mean"], fill_std=img_norm["std"]),
+    dict(type="ColorJitter", brightness=0.4, contrast=0.4, saturation=0.4),
+    dict(type="Trivial", p=1.0),
+    dict(type="Normalize", **img_norm),
+    dict(type="Collect", keys=("img", "gt_label")),
+]
+
 data = dict(
     train=dict(dataset=dict(
         data_prefix="data/synthetic_1k/train",
         ann_file="data/synthetic_1k/train.data",
+        pipeline=train_pipeline,
     )),
     val=dict(
         data_prefix="data/synthetic_1k/val",

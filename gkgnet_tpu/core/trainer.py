@@ -196,6 +196,37 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def pipeline_device_norm(pipeline_cfg):
+    """(mean, std) if the pipeline's Normalize defers to the device
+    (``device=True``), else None. Feed the result to
+    ``make_device_normalize`` and apply it right after ``shard_batch`` —
+    the batch then crosses host->device as uint8 (4x fewer bytes; on a
+    remote-tunneled chip the fp32 transfer measured ~60% of the step)."""
+    for t in pipeline_cfg or ():
+        if isinstance(t, dict) and t.get("type") == "Normalize" \
+                and t.get("device", False):
+            return tuple(t["mean"]), tuple(t["std"])
+    return None
+
+
+def make_device_normalize(norm):
+    """jitted (x - mean) / std for uint8 (B, H, W, 3) batches; identity
+    passthrough for already-normalized float batches (mixed configs)."""
+    if norm is None:
+        return lambda img: img
+    mean, std = norm
+
+    @jax.jit
+    def dev_norm(img):
+        if img.dtype != jnp.uint8:
+            return img
+        return ((img.astype(jnp.float32)
+                 - jnp.asarray(mean, jnp.float32))
+                / jnp.asarray(std, jnp.float32))
+
+    return dev_norm
+
+
 def make_eval_step(model, use_ema: bool = False):
     """Returns ``eval_step(state, imgs) -> sigmoid scores (B, n_classes)``."""
 

@@ -47,8 +47,12 @@ def default_collate(samples: list[dict]) -> dict:
     for key in samples[0]:
         vals = [s[key] for s in samples]
         if isinstance(vals[0], np.ndarray):
+            # uint8 passes through untouched: the device-normalize path
+            # (pipelines.Normalize(device=True)) ships raw bytes to the
+            # chip — 4x less host->device traffic than fp32
+            keep = vals[0].dtype in (np.int32, np.uint8)
             batch[key] = np.stack(vals).astype(
-                np.float32 if vals[0].dtype != np.int32 else np.int32)
+                vals[0].dtype if keep else np.float32)
         else:
             batch[key] = np.asarray(vals)
     return batch

@@ -222,22 +222,34 @@ class Normalize:
     """uint8 RGB -> float32 (x - mean) / std (transforms.py Normalize;
     ``to_rgb`` accepted for config parity — images are already RGB here).
     Uses the GIL-free native kernel (gkgnet_tpu/native) when available so
-    normalize doesn't serialize the threaded loader."""
+    normalize doesn't serialize the threaded loader.
 
-    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD, to_rgb=True):
+    ``device=True`` defers the arithmetic to the accelerator: the image
+    stays uint8 through collate and host->device transfer (4x fewer bytes
+    — on a remote-tunneled chip the fp32 batch transfer measured ~0.3 s
+    of the 0.48 s step) and the training/eval loop normalizes on device
+    (``gkgnet_tpu.core.trainer.device_normalize``, a free fused
+    subtract/scale). Identical math either way."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD, to_rgb=True,
+                 device=False):
         self.mean = np.array(mean, dtype=np.float32)
         self.std = np.array(std, dtype=np.float32)
+        self.device = device
 
     def __call__(self, results, rng=None):
         img = results["img"]
-        if img.dtype == np.uint8:
+        if self.device:
+            results["img"] = np.ascontiguousarray(img)
+        elif img.dtype == np.uint8:
             from gkgnet_tpu.native import normalize_u8
 
             results["img"] = normalize_u8(np.ascontiguousarray(img),
                                           self.mean, self.std)
         else:
             results["img"] = (img.astype(np.float32) - self.mean) / self.std
-        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std)
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
+                                       device=self.device)
         return results
 
 

@@ -184,10 +184,13 @@ class SpatialGraphConv(nn.Module):
         b, h, w, c = x.shape
         g = self.num_group
         y = None
+        y_nodes = None
         if self.r > 1:
-            y = avg_pool_nhwc(x, self.r)
-            y = shard_nodes(fold_groups(y.reshape(b, -1, c), g), "targets")
-        xn = shard_nodes(fold_groups(x.reshape(b, -1, c), g), "queries")
+            y_pool = avg_pool_nhwc(x, self.r)
+            y_nodes = y_pool.reshape(b, -1, c)
+            y = shard_nodes(fold_groups(y_nodes, g), "targets")
+        x_nodes = x.reshape(b, -1, c)
+        xn = shard_nodes(fold_groups(x_nodes, g), "queries")
 
         if self.graph_builder == "perturbed":
             maxrel = _soft_maxrel(self, xn, y, self.k, self.dilation, train)
@@ -234,6 +237,28 @@ class SpatialGraphConv(nn.Module):
             use_fused = fused_fits(
                 xn.shape[1], m, self.k, self.dilation, d=xn.shape[2],
                 itembytes=jnp.dtype(xn.dtype).itemsize)
+        if use_fused and g > 1 and graph_axis_size() == 1:
+            # fold-aware fused path: the multi-group fold lives in the
+            # kernel's BlockSpec channel maps — no (B, N, C) <->
+            # (B*g, N, C/g) transposes materialize (r5 trace: ~2.7 ms of
+            # layout copies per eval step at stage 1 alone). maxrel comes
+            # back unfolded, so the aggregate runs with num_group=1.
+            from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused_grouped
+
+            idx_g, maxrel_unf = knn_mr_fused_grouped(
+                x_nodes, y_nodes if y_nodes is not None else x_nodes,
+                rel_pos, self.k, self.dilation, g)
+            out = GraphAggregate(self.conv, self.in_channels,
+                                 self.out_channels, self.act, self.norm,
+                                 self.use_bias, 1, dtype=self.dtype,
+                                 name="gconv")(x_nodes, None, y_nodes,
+                                               train,
+                                               precomputed=maxrel_unf)
+            # folded (B*g, N, k) edge layout for API parity with the
+            # other paths (DCE'd when the caller ignores edges)
+            idx = idx_g.transpose(0, 2, 1, 3).reshape(
+                b * g, x_nodes.shape[1], self.k)
+            return out.reshape(b, h, w, self.out_channels), idx
         if use_fused:
             idx, maxrel = knn_mr_fused(xn, y if y is not None else xn,
                                        rel_pos, self.k, self.dilation)
@@ -330,6 +355,23 @@ class LabelGraphConv(nn.Module):
             use_fused = fused_fits(
                 xn.shape[1], yn.shape[1], self.k, self.dilation,
                 d=xn.shape[2], itembytes=jnp.dtype(xn.dtype).itemsize)
+        if use_fused and g > 1 and graph_axis_size() == 1:
+            # fold-aware fused path (see SpatialGraphConv): the big win
+            # here is the FEATURE fold — (B, N, C) -> (B*g, N, C/g) of a
+            # full 20736-node stage-1 map — vanishing into the kernel's
+            # channel BlockSpecs.
+            from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused_grouped
+
+            idx_g, maxrel_unf = knn_mr_fused_grouped(
+                labels, feats, None, self.k, self.dilation, g)
+            out = GraphAggregate(self.conv, self.in_channels,
+                                 self.out_channels, self.act, self.norm,
+                                 self.use_bias, 1, dtype=self.dtype,
+                                 name="gconv")(labels, None, feats, train,
+                                               precomputed=maxrel_unf)
+            idx = idx_g.transpose(0, 2, 1, 3).reshape(
+                labels.shape[0] * g, labels.shape[1], self.k)
+            return out, idx
         if use_fused:
             idx, maxrel = knn_mr_fused(xn, yn, None, self.k, self.dilation)
         else:

@@ -583,13 +583,32 @@ def _use_foldv(m: int) -> bool:
 
 
 def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
-                debug_flags=False):
+                debug_flags=False, groups: int = 1):
     """One pallas_call of the fused kernel. ``bias`` may be (N, M) shared
     or (BG, N, M) batched. Returns (idx, mr) — or (idx, mr, flags) with
     ``debug_flags`` on the foldv selector, where flags (BG, N_pad, 128)
     is nonzero for rows sent through the strict-stale epilogue (the
-    perf-contract tests assert it stays zero on tie-heavy inputs)."""
-    bg, n, d = x.shape
+    perf-contract tests assert it stays zero on tie-heavy inputs).
+
+    ``groups > 1`` is the FOLD-AWARE path: x (B, N, g*D) / y (B, M, g*D)
+    arrive UNFOLDED and each grid step's BlockSpec slices group gi's
+    channels [gi*D, (gi+1)*D) directly — the (B, N, C) <-> (B*g, N, C/g)
+    fold/unfold transposes that cost ~0.16-0.49 ms per materialized copy
+    at stage-1 geometry (r5 device trace) never exist. The kernel body is
+    untouched: block shapes are identical to the folded call, so results
+    are bitwise those of fold_groups -> kernel -> unfold_groups. mr comes
+    back (B, N, g*D) unfolded; idx comes back (B, N, g*k) channel-grouped
+    (reshape to (B, N, g, k); transpose to the folded (B*g, N, k) layout
+    only if a consumer needs it)."""
+    if groups > 1:
+        b_true, n, c_full = x.shape
+        d = c_full // groups
+        bg = b_true * groups
+        assert y.shape[2] == c_full and x.shape[0] == y.shape[0]
+        assert bias is None or bias.ndim == 2, \
+            "batched bias not supported on the fold-aware path"
+    else:
+        bg, n, d = x.shape
     m = y.shape[1]
     tile_n = _pick_tile(n, tile_n)
     n_pad = _round_up(n, tile_n)
@@ -611,24 +630,47 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
     # grapher y-target call — otherwise re-fetch y n_tiles times).
     has_bias = bias is not None
     batched_bias = has_bias and bias.ndim == 3
-    if has_bias and not batched_bias:
-        grid = (n_pad // tile_n, bg)
+    if groups > 1:
+        # 3D grid with an explicit group dim; the channel BLOCK index gi
+        # slices group gi out of the unfolded arrays (all blocked arrays
+        # have per-group channel blocks, so one index triple serves all)
+        if has_bias:
+            grid = (n_pad // tile_n, x.shape[0], groups)
 
-        def _tile_bg(i, b):
-            return i, b
+            def _tile_bg(i, b, gi):
+                return i, b * groups + gi
+        else:
+            grid = (x.shape[0], groups, n_pad // tile_n)
+
+            def _tile_bg(b, gi, i):
+                return i, b * groups + gi
+
+        def node_map(*g):
+            i, bgv = _tile_bg(*g)
+            return bgv // groups, i, bgv % groups
+
+        def target_map(*g):
+            _, bgv = _tile_bg(*g)
+            return bgv // groups, 0, bgv % groups
     else:
-        grid = (bg, n_pad // tile_n)
+        if has_bias and not batched_bias:
+            grid = (n_pad // tile_n, bg)
 
-        def _tile_bg(b, i):
-            return i, b
+            def _tile_bg(i, b):
+                return i, b
+        else:
+            grid = (bg, n_pad // tile_n)
 
-    def node_map(*g):
-        i, b = _tile_bg(*g)
-        return b, i, 0
+            def _tile_bg(b, i):
+                return i, b
 
-    def target_map(*g):
-        _, b = _tile_bg(*g)
-        return b, 0, 0
+        def node_map(*g):
+            i, b = _tile_bg(*g)
+            return b, i, 0
+
+        def target_map(*g):
+            _, b = _tile_bg(*g)
+            return b, 0, 0
 
     if has_bias:
         bias2 = bias.astype(jnp.float32)
@@ -673,10 +715,21 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
         coef = jnp.stack(
             [jnp.ones_like(col), col % 128, (col // 128) % 128,
              col // 16384] + [jnp.zeros_like(col)] * 4, axis=1)
-        y = jnp.concatenate(
-            [y.astype(gdt),
-             jnp.broadcast_to(coef.astype(gdt)[None], (bg, m_blk, 8))],
-            axis=2)
+        if groups > 1:
+            # interleave the coef table after EACH group's channels so a
+            # contiguous (1, M, D+8) channel block serves every group
+            # (y is the small pooled target set — this copy is tiny)
+            b_t = y.shape[0]
+            yg = y.astype(gdt).reshape(b_t, m_blk, groups, d)
+            cf = jnp.broadcast_to(coef.astype(gdt)[None, :, None, :],
+                                  (b_t, m_blk, groups, 8))
+            y = jnp.concatenate([yg, cf], axis=3).reshape(
+                b_t, m_blk, groups * (d + 8))
+        else:
+            y = jnp.concatenate(
+                [y.astype(gdt),
+                 jnp.broadcast_to(coef.astype(gdt)[None], (bg, m_blk, 8))],
+                axis=2)
         d_in = d + 8
     if foldv:
         model = _scoped_vmem_bytes_foldv(tile_n, m_blk, _cache_depth(kd),
@@ -692,13 +745,14 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
                      max(24 * 1024 * 1024,
                          int(model * 1.6) + 8 * 1024 * 1024))
 
+    out_b = x.shape[0] if groups > 1 else bg
     out_specs = [
         pl.BlockSpec((1, tile_n, k), node_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_n, d), node_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bg, n_pad, k), jnp.int32),
-        jax.ShapeDtypeStruct((bg, n_pad, d), x.dtype),
+        jax.ShapeDtypeStruct((out_b, n_pad, groups * k), jnp.int32),
+        jax.ShapeDtypeStruct((out_b, n_pad, groups * d), x.dtype),
     ]
     if foldv:
         c = _cache_depth(kd)
@@ -713,6 +767,7 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
                    pltpu.VMEM((tile_n, 128), jnp.int32),
                    pltpu.VMEM((tile_n, d), jnp.float32)]  # pend (staged)
         if debug_flags:
+            assert groups == 1, "debug_flags requires the folded call"
             inner_kern = kern
 
             def kern(x_ref, y_ref, bias_ref, idx_ref, mr_ref, flg_out,
@@ -1035,3 +1090,84 @@ def _bwd(k, dilation, tile_n, interpret, res, g):
 
 
 knn_mr_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fold-aware entry: unfolded (B, N, g*D) tensors, BlockSpec channel slicing
+# ---------------------------------------------------------------------------
+
+def _fold_g(x: Array, g: int) -> Array:
+    """(B, N, g*D) -> (B*g, N, D); group gi = channels [gi*D, (gi+1)*D)."""
+    b, n, c = x.shape
+    return x.reshape(b, n, g, c // g).transpose(0, 2, 1, 3).reshape(
+        b * g, n, c // g)
+
+
+def _unfold_g(x: Array, g: int) -> Array:
+    bg, n, d = x.shape
+    return x.reshape(bg // g, g, n, d).transpose(0, 2, 1, 3).reshape(
+        bg // g, n, g * d)
+
+
+def _fused_forward_grouped(x, y, bias, k, dilation, groups, tile_n,
+                           interpret):
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    selector = "foldv" if _use_foldv(y.shape[1]) else "argmin"
+    idx, mr = _run_pallas(x, y, bias, k, dilation, tile_n, interpret,
+                          selector, groups=groups)
+    b, n, _ = idx.shape
+    return idx.reshape(b, n, groups, k), mr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def knn_mr_fused_grouped(x: Array, y: Array, bias: Array | None, k: int,
+                         dilation: int = 1, groups: int = 2,
+                         tile_n: int = 256, interpret: bool = False):
+    """Fold-aware fused kNN + max-relative: the multi-group fold
+    (torch_vertex.py:199-202) happens in the kernel's BlockSpec channel
+    index map instead of materialized (B, N, C) <-> (B*g, N, C/g)
+    transposes (r5 device trace: those copies cost ~2.7 ms/eval step at
+    stage 1 alone).
+
+    Args:
+      x: (B, N, g*D) raw queries, group-major channels (= unfold layout).
+      y: (B, M, g*D) raw targets.
+      bias: optional (N, M) shared distance bias.
+    Returns:
+      (idx (B, N, g, k) int32, maxrel (B, N, g*D)) — maxrel is bitwise
+      ``unfold_groups(knn_mr_fused(fold_groups(x), fold_groups(y)))``.
+    """
+    return _fused_forward_grouped(x, y, bias, k, dilation, groups, tile_n,
+                                  interpret)
+
+
+def _fwd_grouped(x, y, bias, k, dilation, groups, tile_n, interpret):
+    idx, mr = _fused_forward_grouped(x, y, bias, k, dilation, groups,
+                                     tile_n, interpret)
+    return (idx, mr), (x, y, idx)
+
+
+def _bwd_grouped(k, dilation, groups, tile_n, interpret, res, g):
+    """Backward via the folded bwd kernel (the fwd's saved tensors fold
+    here; extending the BlockSpec trick into _bwd_pallas is the open
+    follow-up)."""
+    x, y, idx = res
+    _, g_mr = g
+    xf = _fold_g(x, groups)
+    yf = _fold_g(y, groups)
+    gf = _fold_g(g_mr, groups).astype(x.dtype)
+    b, n, _, _ = idx.shape
+    idxf = idx.transpose(0, 2, 1, 3).reshape(b * groups, n, k)
+    interp = interpret or jax.default_backend() not in ("tpu", "axon")
+    fits = _bwd_vmem_bytes(
+        _pick_tile(n, tile_n), yf.shape[1], k, xf.shape[2],
+        jnp.dtype(x.dtype).itemsize) * 2 <= _VMEM_CAP
+    if fits:
+        gx, gy = _bwd_pallas(xf, yf, idxf, gf, k, tile_n, interp)
+    else:
+        _, vjp = jax.vjp(lambda x_, y_: _mr_from_idx(x_, y_, idxf), xf, yf)
+        gx, gy = vjp(gf)
+    return _unfold_g(gx, groups), _unfold_g(gy, groups), None
+
+
+knn_mr_fused_grouped.defvjp(_fwd_grouped, _bwd_grouped)

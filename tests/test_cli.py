@@ -193,3 +193,25 @@ def test_train_then_test_cli(workspace):
     with open(out_pkl, "rb") as f:
         scores = pickle.load(f)
     assert scores.shape == (8, 80)
+
+
+@pytest.mark.slow
+def test_train_cli_device_normalize(workspace):
+    """Normalize(device=True): uint8 batches cross host->device and the
+    train/eval loops normalize on-chip. Must reach the same code paths the
+    fp32 pipeline does (1 epoch train + val eval, metric dict present)."""
+    root, cfg_path, _ = workspace
+    cfg = cfg_path.read_text().replace(
+        'dict(type="Normalize", **img_norm),',
+        'dict(type="Normalize", device=True, **img_norm),')
+    work_dir = root / "work_devnorm"
+    cfg = cfg.replace(cfg.splitlines()[1],
+                      f"work_dir = {str(work_dir)!r}")
+    cfg2 = root / "mini_config_devnorm.py"
+    cfg2.write_text(cfg)
+    res = run([sys.executable, "tools/train.py", str(cfg2)])
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    logs = list(work_dir.glob("*.log.json"))
+    assert logs, list(work_dir.iterdir())
+    text = logs[0].read_text()
+    assert '"mAP"' in text, text[-1500:]

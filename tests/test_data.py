@@ -273,3 +273,36 @@ def test_rand_augment_and_auto_augment():
     aug = AutoAugment([[("rotate", 0.0, 9)]])
     got = np.asarray(aug(pil, np.random.default_rng(0)))
     assert (got == img).all()
+
+
+def test_device_normalize_matches_host_normalize():
+    """Normalize(device=True) ships uint8 through collate; the trainer's
+    device_normalize then reproduces the host path bitwise-for-math."""
+    from gkgnet_tpu.core.trainer import (make_device_normalize,
+                                         pipeline_device_norm)
+    from gkgnet_tpu.data.loader import default_collate
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            for _ in range(3)]
+    mean = [123.675, 116.28, 103.53]
+    std = [58.395, 57.12, 57.375]
+
+    host = Normalize(mean, std)
+    want = np.stack([host({"img": i.copy()})["img"] for i in imgs])
+
+    dev = Normalize(mean, std, device=True)
+    outs = [dev({"img": i.copy()})["img"] for i in imgs]
+    assert all(o.dtype == np.uint8 for o in outs)
+    batch = default_collate([{"img": o} for o in outs])
+    assert batch["img"].dtype == np.uint8
+
+    cfg = [dict(type="LoadImageFromFile"),
+           dict(type="Normalize", mean=mean, std=std, device=True)]
+    norm = pipeline_device_norm(cfg)
+    assert norm == (tuple(mean), tuple(std))
+    got = np.asarray(make_device_normalize(norm)(batch["img"]))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # float batches pass through untouched
+    passthrough = make_device_normalize(norm)(want.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(passthrough), want)

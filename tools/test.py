@@ -58,7 +58,10 @@ def main():
     from gkgnet_tpu.core.builder import build_dataset, build_model
     from gkgnet_tpu.core.checkpoint import restore_checkpoint
     from gkgnet_tpu.core.config import Config, parse_cfg_option
-    from gkgnet_tpu.core.trainer import create_train_state, make_eval_step
+    from gkgnet_tpu.core.trainer import (create_train_state,
+                                         make_device_normalize,
+                                         make_eval_step,
+                                         pipeline_device_norm)
     from gkgnet_tpu.data.loader import build_dataloader
     from gkgnet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
     from gkgnet_tpu.utils.logging import get_logger
@@ -99,6 +102,8 @@ def main():
                               num_replicas=world, rank=rank,
                               shuffle=False, drop_last=False)
     from gkgnet_tpu.parallel.mesh import sync_processes
+    dev_norm = make_device_normalize(pipeline_device_norm(
+        cfg.data.get("test", {}).get("pipeline")))
     compiled = {}
     chunks = []
     for i, b in enumerate(loader):
@@ -107,6 +112,7 @@ def main():
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
         sb = shard_batch({"img": imgs}, mesh)
+        sb["img"] = dev_norm(sb["img"])
         if "c" not in compiled:
             # multi-host: AOT-compile THEN barrier — a new executable's
             # gloo communicator only waits ~30 s; concurrent compiles on
