@@ -37,6 +37,14 @@ from gkgnet_tpu.ops.aggregate import (
     max_relative,
 )
 from gkgnet_tpu.ops.knn import _pallas_enabled, dilate_edges, knn_graph
+
+
+def _grouped_enabled() -> bool:
+    # escape hatch for the fold-aware kernel path (GKGNET_NO_GROUPED=1
+    # falls back to explicit fold/unfold around the folded kernels)
+    import os
+
+    return os.environ.get("GKGNET_NO_GROUPED", "0") != "1"
 from gkgnet_tpu.parallel.sharding import (
     active_graph_cfg,
     data_axis_size,
@@ -237,12 +245,16 @@ class SpatialGraphConv(nn.Module):
             use_fused = fused_fits(
                 xn.shape[1], m, self.k, self.dilation, d=xn.shape[2],
                 itembytes=jnp.dtype(xn.dtype).itemsize)
-        if use_fused and g > 1 and graph_axis_size() == 1:
-            # fold-aware fused path: the multi-group fold lives in the
-            # kernel's BlockSpec channel maps — no (B, N, C) <->
-            # (B*g, N, C/g) transposes materialize (r5 trace: ~2.7 ms of
-            # layout copies per eval step at stage 1 alone). maxrel comes
-            # back unfolded, so the aggregate runs with num_group=1.
+        if use_fused and g > 1 and graph_axis_size() == 1 \
+                and _grouped_enabled():
+            # fold-aware fused path: x/y stay unfolded and the kernel
+            # runs a static per-group loop over full-channel blocks
+            # (Mosaic requires trailing block dims be 128-divisible OR
+            # full — a per-group channel-sliced BlockSpec fails to
+            # lower; hardware taught us that mid-round). The
+            # (B, N, C) <-> (B*g, N, C/g) fold/unfold transposes
+            # (~2.7 ms of layout copies per eval step at stage 1 alone,
+            # r5 device trace) never materialize.
             from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused_grouped
 
             idx_g, maxrel_unf = knn_mr_fused_grouped(
@@ -355,11 +367,11 @@ class LabelGraphConv(nn.Module):
             use_fused = fused_fits(
                 xn.shape[1], yn.shape[1], self.k, self.dilation,
                 d=xn.shape[2], itembytes=jnp.dtype(xn.dtype).itemsize)
-        if use_fused and g > 1 and graph_axis_size() == 1:
+        if use_fused and g > 1 and graph_axis_size() == 1 \
+                and _grouped_enabled():
             # fold-aware fused path (see SpatialGraphConv): the big win
             # here is the FEATURE fold — (B, N, C) -> (B*g, N, C/g) of a
-            # full 20736-node stage-1 map — vanishing into the kernel's
-            # channel BlockSpecs.
+            # full 20736-node stage-1 map — never materializing.
             from gkgnet_tpu.ops.pallas.knn_mr import knn_mr_fused_grouped
 
             idx_g, maxrel_unf = knn_mr_fused_grouped(

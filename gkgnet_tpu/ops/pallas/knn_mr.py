@@ -113,7 +113,8 @@ def _norm_rows(v):
 
 def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref, *,
             k: int, dilation: int, m_valid: int, has_bias: bool,
-            gather_precision, bf16_inputs: bool, batched_bias: bool = False):
+            gather_precision, bf16_inputs: bool, batched_bias: bool = False,
+            groups: int = 1):
     """x_ref (1, T, D) raw queries; y_ref (1, M, D) raw targets;
     bias_ref (T, M) or dummy; idx_ref (1, T, k) int32; mr_ref (1, T, D);
     dist_ref (T, M) fp32 VMEM scratch masked in place by the selection
@@ -121,9 +122,37 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref, *,
     accumulator. All selection state lives in scratch refs and the rounds
     run under ``fori_loop`` — one shared buffer set, so scoped VMEM is
     O(T*M) instead of the O(k*d*T*M) a static unroll costs (Mosaic keeps
-    every unrolled round's SSA copy live on the stack)."""
-    x_in = x_ref[0]
-    y_in = y_ref[0]
+    every unrolled round's SSA copy live on the stack).
+
+    ``groups > 1`` (fold-aware path): the refs carry ALL groups'
+    channels — x (1, T, g*D), y (1, M, g*D), idx (1, T, g*k),
+    mr (1, T, g*D) — and a STATIC python loop runs the selection once
+    per group on static channel slices, reusing the same scratch. Block
+    last-dims equal the full array dims, which is what Mosaic requires
+    (a per-group channel-sliced BlockSpec with D=40..320 is not
+    128-divisible and fails to lower)."""
+    for gi in range(groups):
+        _kernel_one_group(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
+                          dist_ref, mrt_ref, gi=gi, groups=groups, k=k,
+                          dilation=dilation, m_valid=m_valid,
+                          has_bias=has_bias,
+                          gather_precision=gather_precision,
+                          bf16_inputs=bf16_inputs,
+                          batched_bias=batched_bias)
+
+
+def _kernel_one_group(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref,
+                      mrt_ref, *, gi: int, groups: int, k: int,
+                      dilation: int, m_valid: int, has_bias: bool,
+                      gather_precision, bf16_inputs: bool,
+                      batched_bias: bool):
+    if groups == 1:
+        x_in = x_ref[0]
+        y_in = y_ref[0]
+    else:
+        dg = x_ref.shape[2] // groups
+        x_in = x_ref[0][:, gi * dg:(gi + 1) * dg]
+        y_in = y_ref[0][:, gi * dg:(gi + 1) * dg]
     x_raw = x_in.astype(jnp.float32)
     y_raw = y_in.astype(jnp.float32)
     t, d = x_raw.shape
@@ -172,11 +201,13 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref, *,
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
 
     mrt_ref[...] = jnp.full((t, d), -jnp.inf, jnp.float32)
-    idx_ref[0] = jnp.zeros((t, k), jnp.int32)
+    k0 = gi * k
+    idx_ref[0, :, k0:k0 + k] = jnp.zeros((t, k), jnp.int32)
 
     def gather_update(j, idx_j, mask):
         sel = j // dilation if dilation > 1 else j
-        idx_ref[0] = jnp.where(lane_k == sel, idx_j[:, None], idx_ref[0])
+        idx_ref[0, :, k0:k0 + k] = jnp.where(
+            lane_k == sel, idx_j[:, None], idx_ref[0, :, k0:k0 + k])
         gathered = jax.lax.dot_general(                          # (T, D) MXU
             mask.astype(gdtype), y_gd,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -211,7 +242,8 @@ def _kernel(x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref, *,
         return 0
 
     jax.lax.fori_loop(0, k * dilation, round_body, 0)
-    mr_ref[0] = mrt_ref[...].astype(mr_ref.dtype)
+    d0 = gi * d
+    mr_ref[0, :, d0:d0 + d] = mrt_ref[...].astype(mr_ref.dtype)
 
 
 def _cache_depth(kd: int) -> int:
@@ -236,7 +268,27 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
                   flg_ref, pend_ref, *,
                   k: int, dilation: int, m_valid: int, has_bias: bool,
                   gather_precision, bf16_inputs: bool, cache_c: int,
-                  batched_bias: bool = False):
+                  batched_bias: bool = False, groups: int = 1):
+    """Static group loop over `_kernel_foldv_one_group` (see `_kernel`
+    for the fold-aware groups>1 block layout: full-channel blocks +
+    static channel slices — the Mosaic-legal formulation)."""
+    for gi in range(groups):
+        _kernel_foldv_one_group(
+            x_ref, y_ref, bias_ref, idx_ref, mr_ref, dist_ref, mrt_ref,
+            mv_ref, bnd_ref, hd_ref, used_ref, flg_ref, pend_ref, gi=gi,
+            groups=groups, k=k, dilation=dilation, m_valid=m_valid,
+            has_bias=has_bias, gather_precision=gather_precision,
+            bf16_inputs=bf16_inputs, cache_c=cache_c,
+            batched_bias=batched_bias)
+
+
+def _kernel_foldv_one_group(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
+                            dist_ref, mrt_ref, mv_ref, bnd_ref, hd_ref,
+                            used_ref, flg_ref, pend_ref, *, gi: int,
+                            groups: int, k: int, dilation: int,
+                            m_valid: int, has_bias: bool,
+                            gather_precision, bf16_inputs: bool,
+                            cache_c: int, batched_bias: bool):
     """foldv selection: values-only per-lane-class sorted top-C cache, with
     winner columns recovered by an equality compare against the retained
     distance matrix, and an exact in-kernel argmin epilogue for flagged
@@ -289,8 +341,14 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
     in SSA values (statically unrolled loops) so Mosaic can register-
     allocate it instead of bouncing through VMEM every round.
     """
-    x_in = x_ref[0]
-    y_gd = y_ref[0]             # (Mp, D+8): target features ++ coef table
+    if groups == 1:
+        x_in = x_ref[0]
+        y_gd = y_ref[0]         # (Mp, D+8): target features ++ coef table
+    else:
+        dx = x_ref.shape[2] // groups
+        dy = y_ref.shape[2] // groups          # = dx + 8 (coef interleaved)
+        x_in = x_ref[0][:, gi * dx:(gi + 1) * dx]
+        y_gd = y_ref[0][:, gi * dy:(gi + 1) * dy]
     x_raw = x_in.astype(jnp.float32)
     t, d = x_raw.shape
     m_pad = y_gd.shape[0]
@@ -360,7 +418,8 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
     flg_ref[...] = jnp.zeros((t, 128), jnp.int32)
     mrt_ref[...] = jnp.full((t, d), -jnp.inf, jnp.float32)
     pend_ref[...] = jnp.full((t, d), -jnp.inf, jnp.float32)
-    idx_ref[0] = jnp.zeros((t, k), jnp.int32)
+    k0, d0 = gi * k, gi * d
+    idx_ref[0, :, k0:k0 + k] = jnp.zeros((t, k), jnp.int32)
 
     # ---- k*d pop rounds on the lane-cache heads (fori_loop + scratch ----
     # refs: a static unroll makes Mosaic keep one live SSA copy of each
@@ -428,7 +487,8 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
         # cross pl.when boundaries).
         mrt_ref[...] = jnp.maximum(mrt_ref[...], pend_ref[...])
         pend_ref[...] = gathered - x_raw
-        idx_ref[0] = jnp.where(lane_k == sel, gc[:, None], idx_ref[0])
+        idx_ref[0, :, k0:k0 + k] = jnp.where(
+            lane_k == sel, gc[:, None], idx_ref[0, :, k0:k0 + k])
 
         @pl.when(jnp.max((hits != 1.0).astype(jnp.int32)) > 0)
         def _():
@@ -437,8 +497,8 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
             # occurrence pick, one-hot re-gather (tied columns may hold
             # different features even at equal distance), consume
             idx_j = exact_pick(gv)
-            idx_ref[0] = jnp.where(lane_k == sel, idx_j[:, None],
-                                   idx_ref[0])
+            idx_ref[0, :, k0:k0 + k] = jnp.where(
+                lane_k == sel, idx_j[:, None], idx_ref[0, :, k0:k0 + k])
             gp2 = jnp.zeros((t, d + 8), jnp.float32)
             for ci in range(n_chunks):
                 lo, hi = ci * g_chunk, (ci + 1) * g_chunk
@@ -509,7 +569,7 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
     jax.lax.fori_loop(0, kd, round_body, 0)
     # flush the last selected round's staged contribution
     mrt_ref[...] = jnp.maximum(mrt_ref[...], pend_ref[...])
-    mr_ref[0] = mrt_ref[...].astype(mr_ref.dtype)
+    mr_ref[0, :, d0:d0 + d] = mrt_ref[...].astype(mr_ref.dtype)
 
     # ---- exact epilogue for tiles containing a strict-stale row ---------
     # (P ~ 1e-5 per tile on non-adversarial data; tie rounds consumed
@@ -523,8 +583,9 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
 
         def egather(jj, idx_j, mask):
             sel = jj // dilation if dilation > 1 else jj
-            idx_ref[0] = jnp.where((lane_k == sel) & rf, idx_j[:, None],
-                                   idx_ref[0])
+            idx_ref[0, :, k0:k0 + k] = jnp.where(
+                (lane_k == sel) & rf, idx_j[:, None],
+                idx_ref[0, :, k0:k0 + k])
             gathered = jax.lax.dot_general(
                 mask.astype(gdtype), y_gd,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -557,7 +618,7 @@ def _kernel_foldv(x_ref, y_ref, bias_ref, idx_ref, mr_ref,
             return 0
 
         jax.lax.fori_loop(0, kd, eround, 0)
-        mr_ref[0] = mrt_ref[...].astype(mr_ref.dtype)
+        mr_ref[0, :, d0:d0 + d] = mrt_ref[...].astype(mr_ref.dtype)
 
 
 # selection algorithm for the fused kernel:
@@ -630,47 +691,29 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
     # grapher y-target call — otherwise re-fetch y n_tiles times).
     has_bias = bias is not None
     batched_bias = has_bias and bias.ndim == 3
-    if groups > 1:
-        # 3D grid with an explicit group dim; the channel BLOCK index gi
-        # slices group gi out of the unfolded arrays (all blocked arrays
-        # have per-group channel blocks, so one index triple serves all)
-        if has_bias:
-            grid = (n_pad // tile_n, x.shape[0], groups)
+    # groups > 1 (fold-aware): blocks carry ALL groups' channels (their
+    # last dim equals the full array dim — the only non-128-divisible
+    # layout Mosaic accepts) and the kernel runs a static per-group loop,
+    # so the grid batches over the TRUE batch dim.
+    n_batch = x.shape[0] if groups > 1 else bg
+    if has_bias and not batched_bias:
+        grid = (n_pad // tile_n, n_batch)
 
-            def _tile_bg(i, b, gi):
-                return i, b * groups + gi
-        else:
-            grid = (x.shape[0], groups, n_pad // tile_n)
-
-            def _tile_bg(b, gi, i):
-                return i, b * groups + gi
-
-        def node_map(*g):
-            i, bgv = _tile_bg(*g)
-            return bgv // groups, i, bgv % groups
-
-        def target_map(*g):
-            _, bgv = _tile_bg(*g)
-            return bgv // groups, 0, bgv % groups
+        def _tile_bg(i, b):
+            return i, b
     else:
-        if has_bias and not batched_bias:
-            grid = (n_pad // tile_n, bg)
+        grid = (n_batch, n_pad // tile_n)
 
-            def _tile_bg(i, b):
-                return i, b
-        else:
-            grid = (bg, n_pad // tile_n)
+        def _tile_bg(b, i):
+            return i, b
 
-            def _tile_bg(b, i):
-                return i, b
+    def node_map(*g):
+        i, b = _tile_bg(*g)
+        return b, i, 0
 
-        def node_map(*g):
-            i, b = _tile_bg(*g)
-            return b, i, 0
-
-        def target_map(*g):
-            _, b = _tile_bg(*g)
-            return b, 0, 0
+    def target_map(*g):
+        _, b = _tile_bg(*g)
+        return b, 0, 0
 
     if has_bias:
         bias2 = bias.astype(jnp.float32)
@@ -745,14 +788,15 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
                      max(24 * 1024 * 1024,
                          int(model * 1.6) + 8 * 1024 * 1024))
 
-    out_b = x.shape[0] if groups > 1 else bg
     out_specs = [
-        pl.BlockSpec((1, tile_n, k), node_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_n, d), node_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, groups * k), node_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, groups * d), node_map,
+                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((out_b, n_pad, groups * k), jnp.int32),
-        jax.ShapeDtypeStruct((out_b, n_pad, groups * d), x.dtype),
+        jax.ShapeDtypeStruct((n_batch, n_pad, groups * k), jnp.int32),
+        jax.ShapeDtypeStruct((n_batch, n_pad, groups * d), x.dtype),
     ]
     if foldv:
         c = _cache_depth(kd)
@@ -789,12 +833,12 @@ def _run_pallas(x, y, bias, k, dilation, tile_n, interpret, selector,
         functools.partial(kern, k=k, dilation=dilation, m_valid=m,
                           has_bias=has_bias,
                           gather_precision=gather_precision,
-                          bf16_inputs=bf16_inputs),
+                          bf16_inputs=bf16_inputs, groups=groups),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_n, d), node_map,
+            pl.BlockSpec((1, tile_n, groups * d), node_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_blk, d_in), target_map,
+            pl.BlockSpec((1, m_blk, groups * d_in), target_map,
                          memory_space=pltpu.VMEM),
             bias_spec,
         ],
