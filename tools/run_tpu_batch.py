@@ -66,6 +66,8 @@ def main():
     if "exp5" in which:
         run("tools/exp_round5_dense.py",
             env={"EXP5": os.environ.get("EXP5", "profile")})
+    if "grouped" in which:
+        run("tools/exp_grouped_check.py")
 
 
 if __name__ == "__main__":
