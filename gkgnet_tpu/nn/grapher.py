@@ -40,11 +40,16 @@ from gkgnet_tpu.ops.knn import _pallas_enabled, dilate_edges, knn_graph
 
 
 def _grouped_enabled() -> bool:
-    # escape hatch for the fold-aware kernel path (GKGNET_NO_GROUPED=1
-    # falls back to explicit fold/unfold around the folded kernels)
+    # The fold-aware grouped kernels (GKGNET_GROUPED=1) are bitwise-exact
+    # on hardware but measured a net LOSS at model level (eval 95.9 vs
+    # 106.7 img/s, v5e): the static in-kernel group loop costs more than
+    # the (B,N,C)<->(B*g,N,C/g) fold/unfold copies it eliminates
+    # (stage1 +2.2 ms/invocation vs ~2.7 ms of copies per step TOTAL;
+    # tools/exp_grouped_check.py, docs/PERF_BREAKDOWN_r05.md). Default
+    # is therefore the explicit fold + folded-kernel path.
     import os
 
-    return os.environ.get("GKGNET_NO_GROUPED", "0") != "1"
+    return os.environ.get("GKGNET_GROUPED", "0") == "1"
 from gkgnet_tpu.parallel.sharding import (
     active_graph_cfg,
     data_axis_size,

@@ -117,6 +117,45 @@ def test_knn_mr_fused_gradients_match_reference():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_knn_mr_fused_grouped_matches_folded():
+    """Fold-aware grouped wrapper (opt-in GKGNET_GROUPED=1; lost the
+    model-level bench on v5e but stays supported) must be bitwise vs
+    fold -> knn_mr_fused -> unfold, fwd and grad."""
+    from gkgnet_tpu.ops.pallas.knn_mr import (_fold_g, _unfold_g,
+                                              knn_mr_fused_grouped)
+
+    b, g, n, m, d, k = 2, 2, 48, 32, 6, 4
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((b, n, g * d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, m, g * d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((n, m)) * 0.1, jnp.float32)
+
+    idx_g, mr_g = knn_mr_fused_grouped(x, y, bias, k, 1, g, 32, True)
+    idx_f, mr_f = knn_mr_fused(_fold_g(x, g), _fold_g(y, g), bias, k, 1,
+                               32, True)
+    np.testing.assert_array_equal(
+        np.asarray(idx_g),
+        np.asarray(idx_f).reshape(b, g, n, k).transpose(0, 2, 1, 3))
+    np.testing.assert_array_equal(np.asarray(mr_g),
+                                  np.asarray(_unfold_g(mr_f, g)))
+
+    def loss_g(x, y):
+        return jnp.sum(knn_mr_fused_grouped(x, y, bias, k, 1, g, 32,
+                                            True)[1] ** 2)
+
+    def loss_f(x, y):
+        _, mr = knn_mr_fused(_fold_g(x, g), _fold_g(y, g), bias, k, 1,
+                             32, True)
+        return jnp.sum(_unfold_g(mr, g) ** 2)
+
+    gx_g, gy_g = jax.grad(loss_g, argnums=(0, 1))(x, y)
+    gx_r, gy_r = jax.grad(loss_f, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_g), np.asarray(gy_r),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("dilation,has_bias", [(1, True), (1, False),
                                                (3, True)])
 def test_knn_mr_foldv_matches_reference(dilation, has_bias):
