@@ -29,7 +29,12 @@ img_norm = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375])
 # entries below: the batch then ships uint8 (4x fewer bytes) and the
 # train/eval loops normalize on-chip (core/trainer.device_normalize).
 # Deployment/export artifacts keep expecting normalized fp32 input, so
-# the default stays host-side.
+# the default stays host-side. NOTE: on the axon remote-TPU tunnel,
+# device=True is effectively REQUIRED for multi-hour training runs —
+# the plugin client leaks the full host buffer of every device_put
+# (~32 MB/step at fp32, tools/exp_leak.py; two 60-epoch runs were
+# OOM-killed at 129 GB before the leak was isolated), and uint8
+# transfer cuts the leak 4x (see configs/gkgnet_synthetic_576_long.py).
 crop_size = 576
 
 train_pipeline = [

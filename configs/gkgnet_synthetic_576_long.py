@@ -28,7 +28,14 @@ train_pipeline = [
          fill_color=img_norm["mean"], fill_std=img_norm["std"]),
     dict(type="ColorJitter", brightness=0.4, contrast=0.4, saturation=0.4),
     dict(type="Trivial", p=1.0),
-    dict(type="Normalize", **img_norm),
+    # device=True is REQUIRED for long runs through the axon tunnel: the
+    # plugin client retains the full host buffer of every device_put
+    # (measured 31.9 MB/step at fp32 — tools/exp_leak.py), which
+    # OOM-killed two 60-epoch runs at ~epoch 30 with 129 GB anon-rss.
+    # uint8 transfer + on-chip normalize shrinks the leak 4x (and the
+    # transfer itself); the arithmetic is bitwise-identical (images are
+    # uint8 until Normalize either way).
+    dict(type="Normalize", **img_norm, device=True),
     dict(type="Collect", keys=("img", "gt_label")),
 ]
 
